@@ -1,0 +1,16 @@
+from dsic_tpu.models.layers import (
+    GDN,
+    AnalysisTransform,
+    SynthesisTransform,
+    HyperAnalysis,
+    HyperSynthesis,
+)
+from dsic_tpu.models.compression_model import (
+    CompressionModel,
+    rate_distortion_loss,
+)
+
+__all__ = [
+    "GDN", "AnalysisTransform", "SynthesisTransform", "HyperAnalysis",
+    "HyperSynthesis", "CompressionModel", "rate_distortion_loss",
+]

@@ -1,0 +1,157 @@
+"""CompressionModel: composed autoencoder + Student-t hyperprior, and the
+rate-distortion loss.
+
+Semantics match /root/reference/code/modelv2/model.py:12-107:
+
+* forward: g_a -> h_a -> quantize both (noise while training, round at eval)
+  -> h_s -> (sigma, nu); global per-channel mode averages exp(log_sigma) over
+  the spatial dims before broadcasting (model.py:53-55); nll_y under Student-t,
+  nll_z under the factorized Gaussian with learnable per-channel log_sigma;
+  decoder sees round(y) at eval and y_tilde while training (model.py:62).
+* rate_distortion_loss (model.py:75-107): R = (sum nll_y + sum nll_z)/(B*H*W)
+  clamped >= 0; D = MSE or 1 - MS-SSIM(clip(x_hat), x) with 3-scale weights
+  (0.3, 0.5, 0.2) and a bilinear-resize guard on shape mismatch;
+  loss = lambda * D + R.
+
+Tensors are NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dsic_tpu.models.layers import (
+    AnalysisTransform, SynthesisTransform, HyperAnalysis, HyperSynthesis)
+from dsic_tpu.ops.quantize import quantize
+from dsic_tpu.ops.distributions import (
+    student_t_neg_log2_prob, gaussian_neg_log2_prob)
+from dsic_tpu.ops.msssim import ms_ssim
+from dsic_tpu.ops.pad import resize_bilinear
+
+
+class CompressionModel(nn.Module):
+    N: int = 128
+    M: int = 192
+    spatial_params: bool = False
+    min_nu: float = 2.0
+    max_nu: float = 100.0
+    out_channels: int = 3
+    dtype: jnp.dtype | None = None  # activation dtype; bfloat16 for AMP
+    use_pallas: bool | None = None
+
+    def setup(self):
+        self.g_a = AnalysisTransform(self.N, self.M, dtype=self.dtype,
+                                     use_pallas=self.use_pallas)
+        self.g_s = SynthesisTransform(self.N, self.M, self.out_channels,
+                                      dtype=self.dtype,
+                                      use_pallas=self.use_pallas)
+        self.h_a = HyperAnalysis(self.N, dtype=self.dtype)
+        self.h_s = HyperSynthesis(self.N, self.M, self.spatial_params,
+                                  dtype=self.dtype)
+        # FactorizedGaussian z-prior's learnable per-channel log_sigma
+        # (distributions.py:33-46).
+        self.z_log_sigma = self.param("z_log_sigma",
+                                      nn.initializers.zeros, (self.N,))
+
+    def latent_params(self, z_tilde: jax.Array, latent_hw=None):
+        """h_s(z_tilde) -> (sigma, nu) broadcast to latent spatial size.
+        ``latent_hw`` overrides the spatial size of the returned maps (used by
+        the decoder, which knows y's shape from the bitstream header)."""
+        log_sigma, log_nu = self.h_s(z_tilde)
+        if self.spatial_params:
+            sigma = jnp.exp(log_sigma)
+            nu = jnp.clip(jnp.exp(log_nu), self.min_nu, self.max_nu)
+            return sigma.astype(jnp.float32), nu.astype(jnp.float32)
+        # global per-channel: mean over spatial dims, then broadcast
+        sigma_c = jnp.mean(jnp.exp(log_sigma), axis=(1, 2), keepdims=True)
+        nu_c = jnp.clip(jnp.mean(jnp.exp(log_nu), axis=(1, 2), keepdims=True),
+                        self.min_nu, self.max_nu)
+        if latent_hw is None:
+            latent_hw = (log_sigma.shape[1], log_sigma.shape[2])
+        shape = (log_sigma.shape[0], latent_hw[0], latent_hw[1], self.M)
+        return (jnp.broadcast_to(sigma_c, shape).astype(jnp.float32),
+                jnp.broadcast_to(nu_c, shape).astype(jnp.float32))
+
+    def __call__(self, x: jax.Array, quant_mode: str = "noise",
+                 train: bool = True) -> dict[str, Any]:
+        y = self.g_a(x)
+        z = self.h_a(y)
+
+        if quant_mode == "noise":
+            key_y, key_z = jax.random.split(self.make_rng("noise"))
+            y_tilde = quantize(y, "noise", key_y)
+            z_tilde = quantize(z, "noise", key_z)
+        else:
+            y_tilde = quantize(y, quant_mode)
+            z_tilde = quantize(z, quant_mode)
+
+        # Broadcast global per-channel params to y's spatial size (the
+        # reference's expand_as(y_tilde), model.py:54-55 — h_s's output size
+        # can differ from y's when H/16 is not a multiple of 4).
+        sigma, nu = self.latent_params(z_tilde, latent_hw=(y.shape[1], y.shape[2]))
+
+        # Likelihoods in bits/element, computed in float32 for stability.
+        nll_y = student_t_neg_log2_prob(y_tilde.astype(jnp.float32), sigma, nu,
+                                        nu_min=self.min_nu, nu_max=self.max_nu)
+        nll_z = gaussian_neg_log2_prob(z_tilde.astype(jnp.float32),
+                                       self.z_log_sigma)
+
+        # Decoder input: rounded latents at eval, the relaxed latents while
+        # training (model.py:62).
+        y_hat = y_tilde if train else quantize(y, "round")
+        x_hat = self.g_s(y_hat)
+
+        return {
+            "x_hat": x_hat,
+            "nll_y": nll_y, "nll_z": nll_z,
+            "y": y, "y_tilde": y_tilde,
+            "z": z, "z_tilde": z_tilde,
+            "sigma": sigma, "nu": nu,
+        }
+
+    # --- codec-facing sub-apply entry points (used via model.apply(...,
+    # method=...) so the entropy codec can run encoder/decoder halves). ---
+
+    def analyze(self, x: jax.Array):
+        """x -> (y_q, z_q, sigma, nu): everything the encoder needs."""
+        y = self.g_a(x)
+        z = self.h_a(y)
+        y_q = jnp.round(y)
+        z_q = jnp.round(z)
+        sigma, nu = self.latent_params(z_q, latent_hw=(y.shape[1], y.shape[2]))
+        return y_q, z_q, sigma, nu
+
+    def hyper_decode(self, z_hat: jax.Array, latent_hw):
+        """z_hat -> (sigma, nu) at the given latent spatial size (decoder side;
+        eval_selfcontained_entropy.py:100-106)."""
+        return self.latent_params(z_hat, latent_hw=latent_hw)
+
+    def synthesize(self, y_hat: jax.Array) -> jax.Array:
+        return self.g_s(y_hat)
+
+
+def rate_distortion_loss(out: dict[str, Any], x: jax.Array,
+                         lambda_rd: float = 10000.0, dist: str = "msssim"):
+    """Returns (loss, R, D). R in bits/pixel. Matches model.py:75-107."""
+    b, h, w, _ = x.shape
+    num_pixels = b * h * w
+    r = (jnp.sum(out["nll_y"]) + jnp.sum(out["nll_z"])) / num_pixels
+    r = jnp.maximum(r, 0.0)
+
+    x_hat = out["x_hat"].astype(jnp.float32)
+    x = x.astype(jnp.float32)
+    if dist == "mse":
+        d = jnp.mean(jnp.square(x_hat - x))
+    elif dist == "msssim":
+        if x_hat.shape[1:3] != x.shape[1:3]:
+            x_hat = resize_bilinear(x_hat, x.shape[1:3])
+        d = 1.0 - jnp.mean(ms_ssim(jnp.clip(x_hat, 0.0, 1.0), x, data_range=1.0))
+    else:
+        raise ValueError("dist must be 'mse' or 'msssim'")
+
+    loss = lambda_rd * d + r
+    return loss, jax.lax.stop_gradient(r), jax.lax.stop_gradient(d)

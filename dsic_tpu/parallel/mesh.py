@@ -1,0 +1,53 @@
+"""Device mesh + sharding rules.
+
+The reference is single-GPU (SURVEY.md section 2 checklist); the TPU-native
+capability equivalent is data-parallel training over an ICI mesh — batch
+sharded over a 'data' axis, parameters replicated, gradient all-reduce
+inserted by XLA — plus an optional 'spatial' axis that spatially partitions
+the conv transforms over image height for full-scene encoding (GSPMD inserts
+the halo exchanges).
+
+Everything uses `jax.sharding.Mesh` + `jax.jit` shardings; no hand-written
+collectives are needed for the flagship model (~10M params, conv-only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh(n_data: int = -1, n_spatial: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, spatial) mesh. n_data == -1 uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data == -1:
+        n_data = len(devices) // n_spatial
+    n = n_data * n_spatial
+    if n > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_spatial} needs {n} devices, "
+                         f"have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(n_data, n_spatial)
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def mesh_from_config(parallel_cfg) -> Mesh:
+    return make_mesh(parallel_cfg.data, parallel_cfg.spatial)
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """NHWC batch: shard N over 'data' (and optionally H over 'spatial')."""
+    spec = P(DATA_AXIS, SPATIAL_AXIS if spatial else None, None, None)
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, x, spatial: bool = False):
+    return jax.device_put(x, batch_sharding(mesh, spatial))
