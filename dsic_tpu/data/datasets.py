@@ -1,0 +1,172 @@
+"""Host-side dataset pipeline: folder of images -> prefetched numpy batches.
+
+Capability-equivalent of the reference loader (datasets.py:15-93): recursive
+multi-extension glob, 90/10 seeded split, reflect pad-to-multiple-of-16,
+random hflip p=0.5 for training, [0,1] float tensors, drop_last on train.
+Worker processes are replaced by a thread pool + prefetch queue (PIL decode
+releases the GIL), and shapes are made static for XLA: either all images share
+one padded shape ("pad" policy, the reference's implicit assumption — its
+BigEarthNet patches are uniformly 120x120 -> 128x128), or images are
+random-cropped/padded to exactly crop_size ("crop" policy).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from dsic_tpu.utils.image_io import list_images, load_image
+
+
+def _pad_to_multiple_np(img: np.ndarray, mult: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    new_h = ((h + mult - 1) // mult) * mult
+    new_w = ((w + mult - 1) // mult) * mult
+    top = (new_h - h) // 2
+    left = (new_w - w) // 2
+    if new_h == h and new_w == w:
+        return img
+    mode = "reflect" if (h > 1 and w > 1) else "edge"
+    return np.pad(img, ((top, new_h - h - top), (left, new_w - w - left),
+                        (0, 0)), mode=mode)
+
+
+def _crop_or_pad_np(img: np.ndarray, size: int, rng: np.random.Generator
+                    ) -> np.ndarray:
+    h, w = img.shape[:2]
+    if h < size or w < size:
+        ph, pw = max(0, size - h), max(0, size - w)
+        img = np.pad(img, ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2),
+                           (0, 0)), mode="reflect")
+        h, w = img.shape[:2]
+    top = int(rng.integers(0, h - size + 1))
+    left = int(rng.integers(0, w - size + 1))
+    return img[top:top + size, left:left + size]
+
+
+def split_paths(paths: list[str], val_fraction: float = 0.1, seed: int = 42):
+    """Seeded shuffle + train/val split (datasets.py:79-84)."""
+    paths = list(paths)
+    rng = np.random.default_rng(seed)
+    rng.shuffle(paths)
+    n_train = int((1.0 - val_fraction) * len(paths))
+    return paths[:n_train], paths[n_train:]
+
+
+class FolderImages:
+    """Indexable image dataset with the reference's preprocessing."""
+
+    def __init__(self, root_or_paths, crop_size: int = 256, train: bool = True,
+                 shape_policy: str = "pad", pad_multiple: int = 16,
+                 seed: int = 0):
+        if isinstance(root_or_paths, (list, tuple)):
+            self.paths = list(root_or_paths)
+        else:
+            self.paths = list_images(root_or_paths)
+        if not self.paths:
+            raise FileNotFoundError("No images found")
+        self.crop_size = crop_size
+        self.train = train
+        self.shape_policy = shape_policy
+        self.pad_multiple = pad_multiple
+        self._rng = np.random.default_rng(seed)
+        self._lock = threading.Lock()
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        img = load_image(self.paths[idx])
+        with self._lock:
+            flip = self.train and self._rng.random() < 0.5
+            if self.shape_policy == "crop":
+                img = _crop_or_pad_np(img, self.crop_size, self._rng)
+        if self.shape_policy == "pad":
+            img = _pad_to_multiple_np(img, self.pad_multiple)
+        if flip:
+            img = img[:, ::-1]
+        return np.ascontiguousarray(img)
+
+
+class Loader:
+    """Batched iterator with background thread-pool decode + prefetch."""
+
+    def __init__(self, dataset: FolderImages, batch_size: int,
+                 shuffle: bool = True, drop_last: bool = True,
+                 num_workers: int = 8, prefetch: int = 2, seed: int = 0):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self._epoch_rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            self._epoch_rng.shuffle(order)
+        batches = []
+        bs = self.batch_size
+        for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs):
+            batches.append(order[i:i + bs])
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        break
+                    imgs = list(pool.map(self.ds.__getitem__, idxs))
+                    shapes = {im.shape for im in imgs}
+                    if len(shapes) != 1:
+                        q.put(ValueError(
+                            f"non-uniform image shapes in batch: {shapes}; "
+                            "use shape_policy='crop' for mixed-size datasets"))
+                        break
+                    q.put(np.stack(imgs, axis=0))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def make_loaders(cfg):
+    """Config -> (train_loader, val_loader), mirroring datasets.py:74-93."""
+    paths = list_images(cfg.DATA.root)
+    if not paths:
+        raise FileNotFoundError(f"No images found under {cfg.DATA.root}")
+    train_paths, val_paths = split_paths(paths, cfg.DATA.val_fraction,
+                                         cfg.DATA.seed)
+    common = dict(crop_size=cfg.DATA.crop_size, shape_policy=cfg.DATA.shape_policy,
+                  pad_multiple=cfg.DATA.pad_multiple)
+    train_ds = FolderImages(train_paths, train=True, seed=cfg.DATA.seed,
+                            **common)
+    val_ds = FolderImages(val_paths, train=False, seed=cfg.DATA.seed + 1,
+                          **common)
+    train_loader = Loader(train_ds, cfg.DATA.batch_size, shuffle=True,
+                          drop_last=True, num_workers=cfg.DATA.num_workers,
+                          prefetch=cfg.DATA.prefetch, seed=cfg.DATA.seed)
+    val_loader = Loader(val_ds, cfg.DATA.batch_size, shuffle=False,
+                        drop_last=False, num_workers=cfg.DATA.num_workers,
+                        prefetch=cfg.DATA.prefetch, seed=cfg.DATA.seed)
+    return train_loader, val_loader

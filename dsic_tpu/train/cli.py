@@ -1,0 +1,61 @@
+"""Training entry point: ``python -m dsic_tpu.train.cli --config cfg.py
+--run_name run --lambda_rd 100`` plus a lambda-sweep driver
+(``--lambda_sweep``) that trains one checkpoint per lambda on the reference
+grid — replacing the reference's one-SLURM-job-per-lambda workflow
+(submit.sbatch; SURVEY.md section 2 #12)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from dsic_tpu.config import load_config, LAMBDA_GRID
+from dsic_tpu.data.datasets import make_loaders
+from dsic_tpu.train.trainer import Trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="dsic_tpu trainer")
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--run_name", type=str, default="default_run")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--lambda_rd", type=float, default=None)
+    p.add_argument("--lambda_sweep", action="store_true",
+                   help="train one checkpoint per lambda on the reference grid")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--mesh", action="store_true",
+                   help="data-parallel training over all devices")
+    p.add_argument("--resume", type=str, default=None)
+    args = p.parse_args(argv)
+
+    overrides = {}
+    if args.data_root:
+        overrides["DATA.root"] = args.data_root
+    if args.lambda_rd is not None:
+        overrides["LOSS.lambda_rd"] = args.lambda_rd
+    if args.epochs is not None:
+        overrides["TRAIN.epochs"] = args.epochs
+    if args.batch_size is not None:
+        overrides["DATA.batch_size"] = args.batch_size
+    cfg = load_config(args.config, overrides)
+
+    lambdas = LAMBDA_GRID if args.lambda_sweep else [cfg.LOSS.lambda_rd]
+    for lam in lambdas:
+        run_cfg = cfg.replace(LOSS=dataclasses.replace(cfg.LOSS, lambda_rd=lam))
+        train_loader, val_loader = make_loaders(run_cfg)
+        # infer the static sample shape from one batch
+        first = next(iter(train_loader))
+        trainer = Trainer(run_cfg, run_name=args.run_name, use_mesh=args.mesh,
+                          sample_shape=(1, *first.shape[1:]))
+        if args.resume:
+            trainer.restore(args.resume)
+        print(f"=== training lambda={lam} -> "
+              f"{trainer.ckpt_dir}/alpha{int(lam)}lambda ===")
+        path = trainer.fit(train_loader, val_loader, max_steps=args.max_steps)
+        print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Training loop: epochs over a prefetched loader, periodic logging and
+round-mode validation, orbax checkpoints named `alpha{lambda}lambda`.
+
+Control flow matches the reference trainer (train.py:164-238): seed, loaders,
+model+Adam, per-step noise-quantized RD loss with grad clip, log every
+`log_every`, validate every `val_every` with quant_mode="round", final
+checkpoint `alpha{lambda}lambda`. Additions over the reference: resume from
+checkpoint, periodic best-val checkpoints (present but commented out in the
+reference, train.py:215-225), mesh data-parallel execution, CSV metrics log.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsic_tpu.config import Config, ckpt_name
+from dsic_tpu.train.state import create_train_state
+from dsic_tpu.train.steps import (
+    make_train_step, make_eval_step, make_sharded_train_step, shard_state)
+from dsic_tpu.parallel.mesh import make_mesh, shard_batch
+from dsic_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint
+from dsic_tpu.utils.csv_logger import CsvLogger
+
+
+def validate(eval_step, params, val_loader, mesh=None):
+    """Mean (R, D) over the validation set at round quantization
+    (train.py:149-162)."""
+    tot_r, tot_d, n = 0.0, 0.0, 0
+    for x in val_loader:
+        xb = jnp.asarray(x) if mesh is None else shard_batch(mesh, jnp.asarray(x))
+        m = eval_step(params, xb)
+        b = x.shape[0]
+        tot_r += float(m["R"]) * b
+        tot_d += float(m["D"]) * b
+        n += b
+    if n == 0:
+        return float("nan"), float("nan")
+    return tot_r / n, tot_d / n
+
+
+class Trainer:
+    def __init__(self, cfg: Config, run_name: str = "default_run",
+                 use_mesh: bool = False, sample_shape=None):
+        self.cfg = cfg
+        self.run_name = run_name
+        self.ckpt_dir = os.path.join(cfg.LOGGING.ckpt_dir, run_name)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+
+        rng = jax.random.PRNGKey(cfg.TRAIN.seed)
+        if sample_shape is None:
+            s = cfg.DATA.crop_size
+            sample_shape = (1, s, s, 3)
+        self.model, self.tx, self.state = create_train_state(cfg, rng,
+                                                             sample_shape)
+        self.mesh = make_mesh(cfg.PARALLEL.data, cfg.PARALLEL.spatial) \
+            if use_mesh else None
+        if self.mesh is not None:
+            self.state = shard_state(self.state, self.mesh)
+            self.train_step = make_sharded_train_step(
+                self.model, self.tx, cfg.LOSS.lambda_rd, self.mesh,
+                dist=cfg.LOSS.dist)
+        else:
+            self.train_step = make_train_step(self.model, self.tx,
+                                              cfg.LOSS.lambda_rd,
+                                              dist=cfg.LOSS.dist)
+        self.eval_step = make_eval_step(self.model, cfg.LOSS.lambda_rd,
+                                        dist=cfg.LOSS.dist)
+        self.global_step = 0
+        self.epoch = 0
+        self.best_val_r = float("inf")
+        self._key = jax.random.PRNGKey(cfg.TRAIN.seed + 1)
+
+    # --- checkpointing -----------------------------------------------------
+
+    def save(self, name: str | None = None, best: bool = False) -> str:
+        name = name or f"step_{self.global_step:07d}{'_best' if best else ''}"
+        path = os.path.join(self.ckpt_dir, name)
+        return save_checkpoint(path, self.state, extra={
+            "epoch": self.epoch, "step": self.global_step,
+            "best_val_R": self.best_val_r,
+            "lambda_rd": self.cfg.LOSS.lambda_rd})
+
+    def restore(self, path: str):
+        self.state, extra = restore_checkpoint(path, self.state)
+        if self.mesh is not None:
+            self.state = shard_state(self.state, self.mesh)
+        self.epoch = int(extra.get("epoch", 0))
+        self.global_step = int(extra.get("step", 0))
+        self.best_val_r = float(extra.get("best_val_R", float("inf")))
+
+    # --- the loop ----------------------------------------------------------
+
+    def fit(self, train_loader, val_loader=None, max_steps: int | None = None,
+            log_fn=print):
+        cfg = self.cfg
+        csv = CsvLogger(os.path.join(self.ckpt_dir, "train_log.csv"),
+                        ["step", "epoch", "loss", "R_bpp", "D", "msssim",
+                         "grad_norm", "sec_per_step"])
+        t_last = time.perf_counter()
+        try:
+            for epoch in range(self.epoch + 1, cfg.TRAIN.epochs + 1):
+                self.epoch = epoch
+                for x in train_loader:
+                    xb = jnp.asarray(x)
+                    if self.mesh is not None:
+                        xb = shard_batch(self.mesh, xb)
+                    self._key, k = jax.random.split(self._key)
+                    self.state, metrics = self.train_step(self.state, xb, k)
+                    self.global_step += 1
+
+                    if self.global_step % cfg.LOGGING.log_every == 0:
+                        m = jax.device_get(metrics)
+                        dt = (time.perf_counter() - t_last) / cfg.LOGGING.log_every
+                        t_last = time.perf_counter()
+                        csv.log(step=self.global_step, epoch=epoch,
+                                loss=float(m["loss"]), R_bpp=float(m["R"]),
+                                D=float(m["D"]), msssim=1.0 - float(m["D"]),
+                                grad_norm=float(m["grad_norm"]),
+                                sec_per_step=dt)
+                        log_fn(f"[{self.run_name}] epoch {epoch} step "
+                               f"{self.global_step}: loss={float(m['loss']):.4f} "
+                               f"R={float(m['R']):.3f}bpp "
+                               f"MS-SSIM={1 - float(m['D']):.4f} "
+                               f"({dt * 1e3:.0f} ms/step)")
+
+                    if (val_loader is not None
+                            and self.global_step % cfg.LOGGING.val_every == 0):
+                        val_r, val_d = validate(self.eval_step,
+                                                self.state.params, val_loader,
+                                                self.mesh)
+                        log_fn(f"[step {self.global_step}] val R={val_r:.3f} "
+                               f"bpp | val (1-MS-SSIM)={val_d:.5f}")
+                        if val_r < self.best_val_r:
+                            self.best_val_r = val_r
+                            self.save(best=True)
+
+                    if max_steps and self.global_step >= max_steps:
+                        return self.finalize()
+            return self.finalize()
+        finally:
+            csv.close()
+
+    def finalize(self) -> str:
+        """Save the final lambda-named checkpoint (train.py:227-235)."""
+        path = self.save(name=ckpt_name(self.cfg.LOSS.lambda_rd))
+        return path

@@ -1,0 +1,53 @@
+"""Checkpoint save/restore via orbax — the reference only saves final
+checkpoints named `alpha{lambda}lambda.pt` with {model, opt, epoch, step}
+(train.py:227-235) and has NO resume path; here save/restore are symmetric so
+training survives preemption (SURVEY.md section 5)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path: str, state: Any, extra: dict | None = None) -> str:
+    """Save a pytree (TrainState or params) plus optional metadata dict.
+    ``path`` is a directory (orbax format). Returns the path."""
+    path = os.path.abspath(path)
+    payload = {"state": jax.device_get(state)}
+    if extra:
+        payload["extra"] = {k: np.asarray(v) if not isinstance(v, (str, bytes))
+                            else v for k, v in extra.items()}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, target_state: Any | None = None):
+    """Restore (state, extra). If ``target_state`` is given, the state is
+    reconstructed with its pytree structure (dataclasses included); otherwise
+    raw nested dicts of arrays are returned."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if target_state is not None:
+        # extras are restored raw first (their keys are unknown a priori)
+        raw = ckptr.restore(path)
+        template = {"state": jax.device_get(target_state)}
+        if "extra" in raw:
+            template["extra"] = raw["extra"]
+        payload = ckptr.restore(path, template)
+    else:
+        payload = ckptr.restore(path)
+    return payload["state"], payload.get("extra", {})
+
+
+def latest_step(ckpt_dir: str) -> str | None:
+    """Return the newest step_* checkpoint directory under ckpt_dir, if any."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    return os.path.join(ckpt_dir, steps[-1]) if steps else None

@@ -1,0 +1,87 @@
+"""Data pipeline: folder dataset, loader batching, split, band merge."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dsic_tpu.data.datasets import FolderImages, Loader, split_paths
+from dsic_tpu.data.synthetic import write_synthetic_dataset, synthetic_patches
+from dsic_tpu.data.bands import merge_bands, create_rgb_from_pngs, process_all_patches
+from dsic_tpu.utils.image_io import save_image, load_image
+
+
+def test_folder_dataset_pads_to_multiple(tmp_path):
+    write_synthetic_dataset(str(tmp_path), n=3, hw=(120, 120), seed=0)
+    ds = FolderImages(str(tmp_path), train=False, shape_policy="pad")
+    img = ds[0]
+    assert img.shape == (128, 128, 3)
+    assert img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_loader_batches_and_drop_last(tmp_path):
+    write_synthetic_dataset(str(tmp_path), n=10, hw=(48, 48), seed=1)
+    ds = FolderImages(str(tmp_path), train=True, shape_policy="pad")
+    loader = Loader(ds, batch_size=4, shuffle=True, drop_last=True,
+                    num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert all(b.shape == (4, 48, 48, 3) for b in batches)
+    # second epoch reshuffles but still works
+    assert len(list(loader)) == 2
+
+
+def test_crop_policy_fixed_shape(tmp_path):
+    write_synthetic_dataset(str(tmp_path), n=2, hw=(70, 90), seed=2)
+    ds = FolderImages(str(tmp_path), crop_size=64, train=True,
+                      shape_policy="crop")
+    assert ds[0].shape == (64, 64, 3)
+    ds_small = FolderImages(str(tmp_path), crop_size=128, train=True,
+                            shape_policy="crop")
+    assert ds_small[0].shape == (128, 128, 3)  # pads up
+
+
+def test_split_paths_deterministic():
+    paths = [f"p{i}" for i in range(100)]
+    t1, v1 = split_paths(paths, 0.1, seed=42)
+    t2, v2 = split_paths(paths, 0.1, seed=42)
+    assert t1 == t2 and v1 == v2
+    assert len(t1) == 90 and len(v1) == 10
+    t3, _ = split_paths(paths, 0.1, seed=43)
+    assert t1 != t3
+
+
+def test_merge_bands_jit():
+    rng = np.random.default_rng(0)
+    stack = jnp.asarray(rng.uniform(100, 4000, size=(2, 16, 16, 4))
+                        .astype(np.float32))
+    rgb = np.asarray(merge_bands(stack, (2, 1, 0)))
+    assert rgb.shape == (2, 16, 16, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+    # each band normalized per image: min 0 max 1
+    np.testing.assert_allclose(rgb.reshape(2, -1, 3).max(axis=1), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(rgb.reshape(2, -1, 3).min(axis=1), 0.0,
+                               atol=1e-5)
+
+
+def test_band_merge_files(tmp_path):
+    rng = np.random.default_rng(1)
+    patch = tmp_path / "patch_A"
+    patch.mkdir()
+    for band in ("B02", "B03", "B04"):
+        arr = rng.uniform(0, 1, size=(32, 32, 1)).astype(np.float32)
+        save_image(str(patch / f"T1_{band}.png"), np.repeat(arr, 3, axis=2))
+    out = tmp_path / "rgb"
+    written = process_all_patches(str(tmp_path), str(out))
+    assert len(written) == 1
+    rgb = load_image(written[0])
+    assert rgb.shape == (32, 32, 3)
+
+
+def test_synthetic_patches_stats():
+    p = synthetic_patches(4, (64, 64), seed=3)
+    assert p.shape == (4, 64, 64, 3)
+    assert 0.0 <= p.min() and p.max() <= 1.0
+    # must be compressible: neighboring pixels correlated
+    corr = np.corrcoef(p[0, :-1].ravel(), p[0, 1:].ravel())[0, 1]
+    assert corr > 0.5
