@@ -1,0 +1,108 @@
+"""CDF table construction: TPU-computed symbol probabilities -> integer CDF
+rows for the rANS coder.
+
+Mirrors the reference's table semantics (eval_selfcontained_entropy.py:14-23,
+38-61): integrate the prior over integer bins [i-1/2, i+1/2] on a per-image
+support [min - tail, max + tail], normalize, cumsum. Differences by design:
+
+* tables are integer CDFs summing exactly to 2^16 with every symbol frequency
+  >= 1 (guaranteed decodability — torchac does the equivalent renormalization
+  internally),
+* the support length is padded to a bucket multiple so the jitted PMF builders
+  compile for a few static shapes only (XLA static-shape rule; SURVEY.md
+  section 7 "hard parts"),
+* one CDF row per channel (global-parameter mode) instead of per-element
+  float CDFs — the coder indexes rows per symbol.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dsic_tpu.ops.distributions import std_gaussian_cdf, student_t_cdf
+
+PRECISION = 16
+TOTAL = 1 << PRECISION
+PMF_FLOOR = 1e-12
+
+
+def quantize_pmf_to_cdf(pmf: np.ndarray, precision: int = PRECISION
+                        ) -> np.ndarray:
+    """(R, L) float pmf rows -> (R, L+1) uint32 CDF rows summing to 2^precision
+    with min frequency 1. Deficit after flooring goes to the bins with the
+    largest fractional remainders (largest-remainder apportionment)."""
+    pmf = np.asarray(pmf, dtype=np.float64)
+    if pmf.ndim == 1:
+        pmf = pmf[None]
+    r, L = pmf.shape
+    total = 1 << precision
+    if L >= total:
+        raise ValueError(f"support too large for precision: {L} >= {total}")
+    pmf = np.maximum(pmf, PMF_FLOOR)
+    pmf = pmf / pmf.sum(axis=1, keepdims=True)
+    scaled = pmf * (total - L)
+    base = np.floor(scaled).astype(np.int64)
+    rem = scaled - base
+    freq = base + 1  # every bin >= 1
+    deficit = total - freq.sum(axis=1)
+    order = np.argsort(-rem, axis=1, kind="stable")
+    rank = np.empty_like(order)
+    np.put_along_axis(rank, order, np.broadcast_to(np.arange(L), (r, L)), axis=1)
+    freq += rank < deficit[:, None]
+    cdf = np.zeros((r, L + 1), dtype=np.uint32)
+    cdf[:, 1:] = np.cumsum(freq, axis=1).astype(np.uint32)
+    assert (cdf[:, -1] == total).all()
+    return cdf
+
+
+def pad_support(length: int, bucket: int = 64) -> int:
+    return ((length + bucket - 1) // bucket) * bucket
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _gaussian_pmf(sigma: jax.Array, lo: jax.Array, L_pad: int) -> jax.Array:
+    """(R,) sigma, scalar int lo -> (R, L_pad) bin probabilities of a zero-mean
+    Gaussian over support values lo..lo+L_pad-1."""
+    support = lo.astype(jnp.float32) + jnp.arange(L_pad, dtype=jnp.float32)
+    upper = (support[None, :] + 0.5) / sigma[:, None]
+    lower = (support[None, :] - 0.5) / sigma[:, None]
+    return jnp.clip(std_gaussian_cdf(upper) - std_gaussian_cdf(lower),
+                    PMF_FLOOR, 1.0)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _student_t_pmf(sigma: jax.Array, nu: jax.Array, lo: jax.Array,
+                   L_pad: int) -> jax.Array:
+    """(R,) sigma & nu -> (R, L_pad) Student-t bin probabilities."""
+    support = lo.astype(jnp.float32) + jnp.arange(L_pad, dtype=jnp.float32)
+    upper = support[None, :] + 0.5
+    lower = support[None, :] - 0.5
+    fu = student_t_cdf(upper, sigma[:, None], nu[:, None])
+    fl = student_t_cdf(lower, sigma[:, None], nu[:, None])
+    return jnp.clip(fu - fl, PMF_FLOOR, 1.0)
+
+
+def gaussian_cdf_rows(sigma: np.ndarray, lo: int, hi: int,
+                      bucket: int = 64) -> np.ndarray:
+    """Integer CDF rows for symbols lo..hi under zero-mean Gaussians.
+    sigma: (R,). Returns (R, L+1) uint32, L = hi - lo + 1."""
+    L = hi - lo + 1
+    L_pad = pad_support(L, bucket)
+    pmf = _gaussian_pmf(jnp.asarray(sigma, jnp.float32),
+                        jnp.asarray(lo, jnp.int32), L_pad)
+    return quantize_pmf_to_cdf(np.asarray(pmf)[:, :L])
+
+
+def student_t_cdf_rows(sigma: np.ndarray, nu: np.ndarray, lo: int, hi: int,
+                       bucket: int = 64) -> np.ndarray:
+    """Integer CDF rows for symbols lo..hi under zero-mean Student-t."""
+    L = hi - lo + 1
+    L_pad = pad_support(L, bucket)
+    pmf = _student_t_pmf(jnp.asarray(sigma, jnp.float32),
+                         jnp.asarray(nu, jnp.float32),
+                         jnp.asarray(lo, jnp.int32), L_pad)
+    return quantize_pmf_to_cdf(np.asarray(pmf)[:, :L])

@@ -83,11 +83,12 @@ int64_t rans_encode(const int32_t *symbols, int64_t n, const uint32_t *cdfs,
     enc.put(state[i % n_states], start, freq);
   }
 
-  // Flush states (2 words each), highest state index first so decode reads
-  // state 0 first.
+  // Flush states (2 words each). The word vector is reversed on output, so
+  // append lo-then-hi from the highest state index down: the decoder then
+  // streams state0_hi, state0_lo, state1_hi, ...
   for (int k = n_states - 1; k >= 0; --k) {
-    enc.words.push_back(static_cast<uint32_t>(state[k] >> 32));
     enc.words.push_back(static_cast<uint32_t>(state[k]));
+    enc.words.push_back(static_cast<uint32_t>(state[k] >> 32));
   }
 
   const int64_t n_bytes = static_cast<int64_t>(enc.words.size()) * 4;

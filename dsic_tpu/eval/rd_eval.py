@@ -1,0 +1,153 @@
+"""Batch RD evaluation: per-lambda checkpoint -> per-image and aggregate RD
+CSVs + RD plots, with the reference's file schemas
+(batch_eval_model/agg_model_rd_summary.csv: lambda,count,bpp,mse,psnr,msssim;
+per_image_per_lambda_results.csv: lambda,image,bpp,mse,psnr,msssim;
+4 plots rd_{psnr,msssim}_avg_{linearx,logx}.png — modelseval.py:112-321).
+
+TPU-first differences from the reference loop: images of one padded shape are
+evaluated in jitted batches instead of one-by-one, and checkpoints load once
+per lambda (the reference reloads per image in its BD scripts,
+writeupbdcurvesballeALL.py:438-473 — noted there as an inefficiency).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dsic_tpu.config import Config, LAMBDA_GRID, ckpt_name
+from dsic_tpu.models import rate_distortion_loss
+from dsic_tpu.ops.msssim import ms_ssim, ssim, psnr as psnr_op
+from dsic_tpu.ops.pad import pad_to_multiple, crop_to
+from dsic_tpu.train.state import build_model, create_train_state
+from dsic_tpu.utils.checkpoint import restore_checkpoint
+from dsic_tpu.utils.csv_logger import CsvLogger
+from dsic_tpu.utils.image_io import load_image
+
+
+def _eval_batch_fn(model):
+    @jax.jit
+    def run(params, x_pad):
+        out = model.apply(params, x_pad, quant_mode="round", train=False)
+        bits = (jnp.sum(out["nll_y"], axis=(1, 2, 3))
+                + jnp.sum(out["nll_z"], axis=(1, 2, 3)))
+        return jnp.clip(out["x_hat"], 0.0, 1.0), bits
+    return run
+
+
+def evaluate_model_on_images(model, params, images: list[np.ndarray],
+                             names: list[str] | None = None,
+                             batch_size: int = 8) -> list[dict]:
+    """Per-image RD metrics at round quantization. Images are HWC float [0,1]
+    of arbitrary sizes; same-padded-shape images are batched together."""
+    names = names or [f"img_{i}" for i in range(len(images))]
+    run = _eval_batch_fn(model)
+
+    groups: dict[tuple, list[int]] = defaultdict(list)
+    for i, img in enumerate(images):
+        groups[img.shape].append(i)
+
+    results: list[dict | None] = [None] * len(images)
+    for shape, idxs in groups.items():
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start:start + batch_size]
+            x = np.stack([images[i] for i in chunk])
+            x_pad, box = pad_to_multiple(jnp.asarray(x), 16)
+            x_hat_pad, bits = run(params, x_pad)
+            x_hat = crop_to(x_hat_pad, box)
+            xb = jnp.asarray(x)
+            h, w = shape[:2]
+            if min(h, w) > 40:
+                mss = np.asarray(ms_ssim(x_hat, xb))
+            else:  # ssim fallback for small images (modelseval.py:79-88)
+                mss = np.asarray(ssim(x_hat, xb))
+            ps = np.asarray(psnr_op(x_hat, xb))
+            mse = np.asarray(jnp.mean(jnp.square(x_hat - xb), axis=(1, 2, 3)))
+            bpp = np.asarray(bits) / (h * w)
+            for j, i in enumerate(chunk):
+                results[i] = {"image": names[i], "bpp": float(bpp[j]),
+                              "mse": float(mse[j]), "psnr": float(ps[j]),
+                              "msssim": float(mss[j])}
+    return results  # type: ignore[return-value]
+
+
+def evaluate_model_lambdas(cfg: Config, ckpt_root: str, image_dir: str,
+                           out_dir: str, lambdas=LAMBDA_GRID,
+                           max_images: int = 1000, batch_size: int = 8,
+                           make_plots: bool = True) -> dict:
+    """The reference's evaluate_model_lambdas (modelseval.py:112-321):
+    for each lambda, load `alpha{lambda}lambda`, evaluate <= max_images
+    images, write per-image + aggregate CSVs and RD plots. Checkpoints that
+    fail to load are skipped with a warning (the reference's WARN-and-continue
+    posture). Returns the aggregate curve dict."""
+    from dsic_tpu.utils.image_io import list_images as _list
+    os.makedirs(out_dir, exist_ok=True)
+    paths = _list(image_dir)[:max_images]
+    images = [load_image(p) for p in paths]
+    names = [os.path.basename(p) for p in paths]
+
+    model = build_model(cfg, train_dtype=None)
+    _, _, template = create_train_state(
+        cfg, jax.random.PRNGKey(0),
+        sample_shape=(1, 64, 64, 3))
+
+    agg = {"lambda": [], "count": [], "bpp": [], "mse": [], "psnr": [],
+           "msssim": []}
+    with CsvLogger(os.path.join(out_dir, "per_image_per_lambda_results.csv"),
+                   ["lambda", "image", "bpp", "mse", "psnr", "msssim"]) as per:
+        for lam in lambdas:
+            path = os.path.join(ckpt_root, ckpt_name(lam))
+            try:
+                state, _ = restore_checkpoint(path, template)
+                params = state.params
+            except Exception as exc:  # noqa: BLE001
+                print(f"[rd_eval] WARN: cannot load {path}: {exc}; skipping")
+                continue
+            rows = evaluate_model_on_images(model, params, images, names,
+                                            batch_size)
+            for row in rows:
+                per.log(**{"lambda": lam, **row})
+            agg["lambda"].append(lam)
+            agg["count"].append(len(rows))
+            for key in ("bpp", "mse", "psnr", "msssim"):
+                agg[key].append(float(np.mean([r[key] for r in rows])))
+
+    with CsvLogger(os.path.join(out_dir, "agg_model_rd_summary.csv"),
+                   ["lambda", "count", "bpp", "mse", "psnr", "msssim"]) as ag:
+        for i in range(len(agg["lambda"])):
+            ag.log(**{k: agg[k][i] for k in agg})
+
+    if make_plots and agg["lambda"]:
+        plot_rd_curves(agg, out_dir)
+    return {k: np.asarray(v) for k, v in agg.items()}
+
+
+def plot_rd_curves(curve: dict, out_dir: str, label: str = "model",
+                   baselines: dict | None = None):
+    """The 4 reference plots: PSNR/MS-SSIM vs bpp, linear and log x
+    (modelseval.py:247-321)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    for metric, ylabel in (("psnr", "PSNR (dB)"), ("msssim", "MS-SSIM")):
+        for logx in (False, True):
+            fig, ax = plt.subplots(figsize=(7, 5))
+            ax.plot(curve["bpp"], curve[metric], "o-", label=label)
+            for name, base in (baselines or {}).items():
+                ax.plot(base["bpp"], base[metric], "s--", label=name)
+            if logx:
+                ax.set_xscale("log")
+            ax.set_xlabel("bpp")
+            ax.set_ylabel(ylabel)
+            ax.grid(True, alpha=0.3)
+            ax.legend()
+            suffix = "logx" if logx else "linearx"
+            fig.savefig(os.path.join(out_dir,
+                                     f"rd_{metric}_avg_{suffix}.png"),
+                        dpi=120, bbox_inches="tight")
+            plt.close(fig)

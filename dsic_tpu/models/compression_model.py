@@ -125,6 +125,14 @@ class CompressionModel(nn.Module):
         sigma, nu = self.latent_params(z_q, latent_hw=(y.shape[1], y.shape[2]))
         return y_q, z_q, sigma, nu
 
+    def encode_latents(self, x: jax.Array):
+        """x -> (y_q, z_q) rounded latents only. The codec derives (sigma, nu)
+        via :meth:`hyper_decode` on z_q so encoder and decoder share one jitted
+        code path (bitwise-identical CDF tables on both sides)."""
+        y = self.g_a(x)
+        z = self.h_a(y)
+        return jnp.round(y), jnp.round(z)
+
     def hyper_decode(self, z_hat: jax.Array, latent_hw):
         """z_hat -> (sigma, nu) at the given latent spatial size (decoder side;
         eval_selfcontained_entropy.py:100-106)."""

@@ -1,0 +1,172 @@
+"""Entropy codec: rANS round-trip bit-exactness (C++ and python fallback),
+CDF table construction invariants, and the full compress->decompress pipeline
+including the reference's estimated-vs-real bpp invariant
+(eval_selfcontained_entropy.py:141-150)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsic_tpu.codec.rans import (
+    rans_encode, rans_decode, rans_available, _py_encode, _py_decode)
+from dsic_tpu.codec.cdf import (
+    quantize_pmf_to_cdf, gaussian_cdf_rows, student_t_cdf_rows, TOTAL)
+from dsic_tpu.codec.bitstream import Bitstream, pack_bitstream, unpack_bitstream
+from dsic_tpu.codec.api import Codec
+from dsic_tpu.config import CodecConfig
+from dsic_tpu.models import CompressionModel, rate_distortion_loss
+from dsic_tpu.data.synthetic import synthetic_patches
+
+
+def _random_cdfs(rng, rows, L):
+    pmf = rng.dirichlet(np.full(L, 0.5), size=rows)
+    return quantize_pmf_to_cdf(pmf)
+
+
+def test_native_coder_builds():
+    assert rans_available(), "C++ rANS failed to build"
+
+
+@pytest.mark.parametrize("n_states", [1, 4])
+def test_rans_roundtrip_single_row(n_states):
+    rng = np.random.default_rng(0)
+    L = 37
+    cdf = _random_cdfs(rng, 1, L)
+    syms = rng.integers(0, L, size=5000).astype(np.int32)
+    blob = rans_encode(syms, cdf, None, n_states)
+    out = rans_decode(blob, syms.size, cdf, None, n_states)
+    np.testing.assert_array_equal(out, syms)
+
+
+def test_rans_roundtrip_multirow():
+    rng = np.random.default_rng(1)
+    L, R = 64, 24
+    cdfs = _random_cdfs(rng, R, L)
+    row_idx = rng.integers(0, R, size=4096).astype(np.int32)
+    syms = rng.integers(0, L, size=4096).astype(np.int32)
+    blob = rans_encode(syms, cdfs, row_idx, 4)
+    out = rans_decode(blob, syms.size, cdfs, row_idx, 4)
+    np.testing.assert_array_equal(out, syms)
+
+
+def test_rans_cpp_matches_python_fallback():
+    rng = np.random.default_rng(2)
+    L = 16
+    cdf = _random_cdfs(rng, 1, L)
+    syms = rng.integers(0, L, size=300).astype(np.int32)
+    blob_cpp = rans_encode(syms, cdf, None, 2)
+    blob_py = _py_encode(syms, cdf, None, 2)
+    assert blob_cpp == blob_py
+    out = _py_decode(blob_cpp, syms.size, cdf, None, 2)
+    np.testing.assert_array_equal(out, syms)
+
+
+def test_rans_compression_efficiency():
+    """Coded size must be within ~1% + constant of the CDF-table entropy."""
+    rng = np.random.default_rng(3)
+    L = 32
+    pmf = rng.dirichlet(np.full(L, 0.3))
+    cdf = quantize_pmf_to_cdf(pmf)
+    freq = np.diff(cdf[0].astype(np.int64)) / TOTAL
+    n = 20000
+    syms = rng.choice(L, size=n, p=pmf).astype(np.int32)
+    blob = rans_encode(syms, cdf, None, 4)
+    entropy_bits = -np.sum(np.log2(freq[syms]))
+    assert len(blob) * 8 < entropy_bits * 1.01 + 64 * 8
+
+
+def test_quantized_cdf_invariants():
+    rng = np.random.default_rng(4)
+    pmf = rng.dirichlet(np.full(100, 0.2), size=7)
+    pmf[0, :50] = 1e-30  # extreme skew still yields freq >= 1
+    cdf = quantize_pmf_to_cdf(pmf)
+    assert cdf.shape == (7, 101)
+    assert (cdf[:, 0] == 0).all()
+    assert (cdf[:, -1] == TOTAL).all()
+    freqs = np.diff(cdf.astype(np.int64), axis=1)
+    assert freqs.min() >= 1
+
+
+def test_gaussian_rows_match_scipy_binning():
+    import scipy.stats
+    sigma = np.asarray([0.5, 1.7, 20.0], np.float32)
+    lo, hi = -12, 12
+    cdf = gaussian_cdf_rows(sigma, lo, hi)
+    support = np.arange(lo, hi + 1)
+    want = (scipy.stats.norm.cdf((support + 0.5)[None] / sigma[:, None])
+            - scipy.stats.norm.cdf((support - 0.5)[None] / sigma[:, None]))
+    want = want / want.sum(1, keepdims=True)
+    got = np.diff(cdf.astype(np.float64), axis=1) / TOTAL
+    np.testing.assert_allclose(got, want, atol=6e-4)
+
+
+def test_student_rows_match_scipy_binning():
+    import scipy.stats
+    sigma = np.asarray([0.8, 3.0], np.float32)
+    nu = np.asarray([2.5, 30.0], np.float32)
+    lo, hi = -20, 20
+    cdf = student_t_cdf_rows(sigma, nu, lo, hi)
+    support = np.arange(lo, hi + 1)
+    want = (scipy.stats.t.cdf((support + 0.5)[None], df=nu[:, None],
+                              scale=sigma[:, None])
+            - scipy.stats.t.cdf((support - 0.5)[None], df=nu[:, None],
+                                scale=sigma[:, None]))
+    want = want / want.sum(1, keepdims=True)
+    got = np.diff(cdf.astype(np.float64), axis=1) / TOTAL
+    np.testing.assert_allclose(got, want, atol=6e-4)
+
+
+def test_bitstream_pack_unpack():
+    bs = Bitstream(y_shape=(2, 4, 4, 8), z_shape=(2, 1, 1, 6),
+                   bounds=[(-5, 9, -11, 20), (-3, 3, -7, 8)],
+                   z_payloads=[b"abc", b"de"], y_payloads=[b"xyzw", b"q"],
+                   spatial_params=False, n_states=4, tail=10)
+    data = pack_bitstream(bs)
+    out = unpack_bitstream(data)
+    assert out.y_shape == bs.y_shape and out.z_shape == bs.z_shape
+    assert out.bounds == bs.bounds
+    assert out.z_payloads == bs.z_payloads and out.y_payloads == bs.y_payloads
+    assert out.n_states == 4 and out.tail == 10 and not out.spatial_params
+    with pytest.raises(ValueError):
+        unpack_bitstream(b"XXXX" + data[4:])
+    for cut in (2, len(data) // 2, len(data) - 1):  # truncations stay clean
+        with pytest.raises(ValueError):
+            unpack_bitstream(data[:cut])
+
+
+@pytest.mark.parametrize("spatial", [False, True])
+def test_codec_roundtrip_lossless_latents(spatial):
+    model = CompressionModel(N=16, M=24, spatial_params=spatial)
+    x = jnp.asarray(synthetic_patches(2, (64, 64), seed=0))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+    codec = Codec(model, params)
+    xin = np.asarray(x)
+    res = codec.compress(xin)
+    assert res.bpp > 0
+    # decoded latent symbols are exactly the encoder's
+    y_q, z_q = codec.latents(xin)
+    y_hat, z_hat = codec.decoded_latents(res.data)
+    np.testing.assert_array_equal(y_hat, y_q)
+    np.testing.assert_array_equal(z_hat, z_q)
+    # full reconstruction equals synthesize(y_q)
+    x_hat = codec.decompress(res.data)
+    want = np.asarray(jnp.clip(
+        model.apply(params, jnp.asarray(y_q), method=model.synthesize), 0, 1))
+    np.testing.assert_allclose(x_hat, want, atol=1e-6)
+
+
+def test_real_bpp_close_to_estimated():
+    """The eval_selfcontained_entropy.py:141-150 invariant: arithmetic-coded
+    bpp tracks the nll-sum estimate."""
+    model = CompressionModel(N=16, M=24)
+    x = jnp.asarray(synthetic_patches(2, (96, 96), seed=1))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+    out = model.apply(params, x, quant_mode="round", train=False)
+    _, r_est, _ = rate_distortion_loss(out, x, lambda_rd=1.0, dist="mse")
+    res = Codec(model, params).compress(np.asarray(x))
+    est = float(r_est)
+    # binned-pmf coding under per-image supports: within ~10% + small constant
+    assert abs(res.bpp - est) < 0.1 * est + 0.05, (res.bpp, est)

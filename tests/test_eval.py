@@ -1,0 +1,109 @@
+"""Eval suite: BD metrics vs known values, JPEG baseline, RD eval CSV
+schemas, bpp-matched comparison."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsic_tpu.eval.bd import bd_rate, bd_quality, bd_metrics
+from dsic_tpu.eval.jpeg import (
+    jpeg_rd_point, jpeg_rd_curve, find_jpeg_quality_for_target_bpp)
+from dsic_tpu.eval.baselines import BASELINE_CURVES, REFERENCE_MODEL_CURVE
+from dsic_tpu.eval.rd_eval import evaluate_model_on_images
+from dsic_tpu.data.synthetic import synthetic_patches
+from dsic_tpu.models import CompressionModel
+
+
+def test_bd_rate_identical_curves_zero():
+    c = BASELINE_CURVES["jpeg"]
+    assert abs(bd_rate(c["bpp"], c["psnr"], c["bpp"], c["psnr"])) < 1e-9
+    assert abs(bd_quality(c["bpp"], c["psnr"], c["bpp"], c["psnr"])) < 1e-9
+
+
+def test_bd_rate_halved_rate_is_minus_50():
+    c = BASELINE_CURVES["jpeg"]
+    got = bd_rate(c["bpp"] * 0.5, c["psnr"], c["bpp"], c["psnr"])
+    np.testing.assert_allclose(got, -50.0, atol=1e-6)
+    got_q = bd_quality(c["bpp"], c["psnr"] + 1.0, c["bpp"], c["psnr"])
+    np.testing.assert_allclose(got_q, 1.0, atol=1e-6)
+
+
+def test_bd_reproduces_reference_recorded_numbers():
+    """Feeding the reference's own recorded RD curves through our BD engine
+    must land on its published BD numbers (BASELINE.md) — the parity check of
+    the BD construction itself."""
+    m = bd_metrics(REFERENCE_MODEL_CURVE, BASELINE_CURVES["mbt2018"])
+    # batch_bd_results_mbt/bd_metrics_summary.csv:2
+    np.testing.assert_allclose(m["bd_rate_psnr_pct"], -62.37, atol=0.05)
+    np.testing.assert_allclose(m["bd_psnr_db"], 0.9889, atol=0.005)
+    np.testing.assert_allclose(m["bd_rate_mss_pct"], -29.21, atol=0.05)
+    np.testing.assert_allclose(m["bd_mss_diff"], 0.0384, atol=0.001)
+
+    j = bd_metrics(REFERENCE_MODEL_CURVE, BASELINE_CURVES["jpeg"])
+    # batch_bd_results_jpeg/bd_metrics_summary_jpeg.csv:2
+    np.testing.assert_allclose(j["bd_rate_psnr_pct"], 0.0446, atol=0.01)
+    np.testing.assert_allclose(j["bd_rate_mss_pct"], -53.22, atol=0.05)
+
+    b = bd_metrics(REFERENCE_MODEL_CURVE, BASELINE_CURVES["bmshj2018"])
+    # PSNR BD recorded empty (curve-overlap failure) -> NaN here too
+    assert np.isnan(b["bd_rate_psnr_pct"])
+    np.testing.assert_allclose(b["bd_rate_mss_pct"], -42.95, atol=0.05)
+
+
+def test_jpeg_rd_point_and_monotonicity():
+    img = synthetic_patches(1, (120, 120), seed=0)[0]
+    p30 = jpeg_rd_point(img, 30)
+    p90 = jpeg_rd_point(img, 90)
+    assert p90["bpp"] > p30["bpp"]
+    assert p90["psnr"] > p30["psnr"]
+    assert 0 < p30["msssim"] <= 1
+
+
+def test_jpeg_bpp_match_bisection():
+    img = synthetic_patches(1, (120, 120), seed=1)[0]
+    target = jpeg_rd_point(img, 50)["bpp"]
+    best = find_jpeg_quality_for_target_bpp(img, target)
+    assert abs(best["bpp"] - target) / target < 0.1
+
+
+def test_jpeg_curve_schema():
+    imgs = list(synthetic_patches(2, (64, 64), seed=2))
+    curve = jpeg_rd_curve(imgs, qualities=(20, 60))
+    assert curve["count"] == 2
+    assert curve["bpp"].shape == (2,)
+    assert curve["bpp"][1] > curve["bpp"][0]
+
+
+def test_evaluate_model_on_images_mixed_sizes():
+    model = CompressionModel(N=16, M=24)
+    x0 = synthetic_patches(1, (64, 64), seed=3)[0]
+    x1 = synthetic_patches(1, (120, 120), seed=4)[0]
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)},
+                        jnp.zeros((1, 64, 64, 3)))
+    rows = evaluate_model_on_images(model, params, [x0, x1, x0],
+                                    ["a", "b", "c"])
+    assert [r["image"] for r in rows] == ["a", "b", "c"]
+    assert all(np.isfinite(r["bpp"]) and r["bpp"] > 0 for r in rows)
+    assert rows[0]["bpp"] == rows[2]["bpp"]  # identical inputs batch together
+
+
+def test_compare_process_single_image(tmp_path):
+    from dsic_tpu.eval.compare import process_single_image, BPP_EQUIV_FIELDS
+    from dsic_tpu.utils.csv_logger import CsvLogger
+    model = CompressionModel(N=16, M=24)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)},
+                        jnp.zeros((1, 64, 64, 3)))
+    img = synthetic_patches(1, (64, 64), seed=5)[0]
+    with CsvLogger(str(tmp_path / "bpp_equiv_summary.csv"),
+                   BPP_EQUIV_FIELDS) as csv:
+        row = process_single_image(model, params, img, 10, str(tmp_path), csv)
+    assert os.path.exists(row["model_recon"])
+    assert os.path.exists(row["jpeg_diff"])
+    assert row["jpeg_quality"] >= 1
+    text = (tmp_path / "bpp_equiv_summary.csv").read_text()
+    assert "model_ms-ssim" in text and "jpeg_bpp" in text
