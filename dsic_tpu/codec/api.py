@@ -8,18 +8,25 @@ encode:  g_a/h_a -> round -> per-image supports [min - tail, max + tail] ->
 decode:  z decodes first; h_s(z_hat) regenerates (sigma, nu); then y; then g_s
          — the decoder never sees y statistics (a true codec).
 
-TPU/host split: transforms and CDF bin probabilities run jitted on device;
-integer CDF quantization and rANS coding run on host (the C++ coder). Encoder
-and decoder compute (sigma, nu) and CDF tables through the SAME jitted
-functions on identically-shaped batches, making the tables bitwise identical
-on both sides (decodability invariant).
+TPU/host split and latency design:
+
+* transforms and CDF bin probabilities run jitted on device; integer CDF
+  quantization and rANS coding run on host (the C++ coder),
+* all per-image CDF tables of a plane build in ONE jitted call with ONE
+  device->host transfer (a shared bucketed support length per plane; the
+  reference's per-image loop pays a host<->device latency per table,
+  eval_selfcontained_entropy.py:36-66),
+* encoder and decoder compute (sigma, nu) and CDF tables through the SAME
+  jitted functions on identically-shaped batches, making the tables bitwise
+  identical on both sides (the decodability invariant),
+* per-image rANS coding fans out on a thread pool (the C++ calls release the
+  GIL).
 """
 
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
-from typing import Any
 
 import numpy as np
 import jax
@@ -27,7 +34,8 @@ import jax.numpy as jnp
 
 from dsic_tpu.config import CodecConfig
 from dsic_tpu.codec.bitstream import Bitstream, pack_bitstream, unpack_bitstream
-from dsic_tpu.codec.cdf import gaussian_cdf_rows, student_t_cdf_rows
+from dsic_tpu.codec.cdf import (
+    gaussian_cdf_rows_batch, student_t_cdf_rows_batch, pad_support)
 from dsic_tpu.codec.rans import rans_encode, rans_decode
 
 
@@ -51,15 +59,64 @@ class Codec:
         self.cfg = cfg or CodecConfig()
 
         self._encode_latents = jax.jit(
-            lambda p, x: model.apply(p, x, method=model.encode_latents))
-        self._hyper = jax.jit(
-            lambda p, z, hw: model.apply(p, z, hw, method=model.hyper_decode),
+            lambda p, x: model.apply(p, x, method=model.encode_latents_i16))
+        # global mode ships per-channel (B, M) params; spatial mode needs the
+        # full maps. Encoder and decoder call the SAME jitted function.
+        self._hyper_channel = jax.jit(
+            lambda p, z: model.apply(p, z.astype(jnp.float32),
+                                     method=model.hyper_channel_params))
+        self._hyper_full = jax.jit(
+            lambda p, z, hw: model.apply(p, z.astype(jnp.float32), hw,
+                                         method=model.hyper_decode),
             static_argnums=(2,))
         self._synthesize = jax.jit(
-            lambda p, y: model.apply(p, y, method=model.synthesize))
+            lambda p, y: model.apply(p, y.astype(jnp.float32),
+                                     method=model.synthesize))
+        self._synthesize_u8 = jax.jit(
+            lambda p, y: model.apply(p, y, method=model.synthesize_u8))
 
         zl = params["params"]["z_log_sigma"]
         self._sigma_z = np.asarray(jnp.exp(zl), dtype=np.float32)
+
+    # --- shared table construction (encoder and decoder call these with the
+    # --- same arguments, yielding bitwise-identical tables) -----------------
+
+    def _z_tables(self, z_lo: np.ndarray, L: int) -> np.ndarray:
+        """(B,) per-image lo -> (B, N, L+1) Gaussian rows from the z-prior."""
+        b = z_lo.shape[0]
+        sigma = np.broadcast_to(self._sigma_z[None], (b, self._sigma_z.size))
+        return gaussian_cdf_rows_batch(sigma, z_lo, L,
+                                       self.cfg.support_bucket)
+
+    def _y_tables(self, sigma_np: np.ndarray, nu_np: np.ndarray,
+                  y_lo: np.ndarray, L: int) -> np.ndarray:
+        """(B, R) hyper params -> (B, R, L+1) Student-t rows; R = channels in
+        global mode, all elements in spatial mode."""
+        b = sigma_np.shape[0]
+        return student_t_cdf_rows_batch(sigma_np.reshape(b, -1),
+                                        nu_np.reshape(b, -1), y_lo, L,
+                                        self.cfg.support_bucket)
+
+    def _hyper_params(self, z_dev, latent_hw):
+        """(sigma, nu) host arrays for the CDF tables: (B, M) in global mode,
+        (B, h*w*M)-reshapeable full maps in spatial mode. One shared jitted
+        path for encoder and decoder."""
+        if self.model.spatial_params:
+            sigma, nu = self._hyper_full(self.params, z_dev, latent_hw)
+        else:
+            sigma, nu = self._hyper_channel(self.params, z_dev)
+        return np.asarray(sigma), np.asarray(nu)
+
+    @staticmethod
+    def _bounds(vals: np.ndarray, tail: int, bucket: int):
+        """Per-image lo and a shared bucketed support length L covering every
+        image's [min - tail, max + tail] range."""
+        b = vals.shape[0]
+        flat = vals.reshape(b, -1)
+        lo = np.floor(flat.min(axis=1)).astype(np.int64) - tail
+        hi = np.ceil(flat.max(axis=1)).astype(np.int64) + tail
+        L = pad_support(int((hi - lo + 1).max()), bucket)
+        return lo.astype(np.int32), L
 
     # --- encode ------------------------------------------------------------
 
@@ -72,50 +129,44 @@ class Codec:
         y_q, z_q = self._encode_latents(self.params, jnp.asarray(x))
         yh, yw, yc = y_q.shape[1:]
         zh, zw, zc = z_q.shape[1:]
-        sigma, nu = self._hyper(self.params, z_q, (yh, yw))
+        sigma_np, nu_np = self._hyper_params(z_q, (yh, yw))
 
-        y_np = np.asarray(y_q, dtype=np.int64)
-        z_np = np.asarray(z_q, dtype=np.int64)
-        sigma_np = np.asarray(sigma)
-        nu_np = np.asarray(nu)
+        y_np = np.asarray(y_q).astype(np.int64)  # int16 on the wire
+        z_np = np.asarray(z_q).astype(np.int64)
 
         tail = self.cfg.tail
         n_states = self.cfg.interleave
         bucket = self.cfg.support_bucket
-        z_row_idx = _channel_row_idx(zh, zw, zc)
-        y_row_idx_chan = _channel_row_idx(yh, yw, yc)
         spatial = self.model.spatial_params
 
+        z_lo, L_z = self._bounds(z_np, tail, bucket)
+        y_lo, L_y = self._bounds(y_np, tail, bucket)
+        z_cdfs = self._z_tables(z_lo, L_z)  # (B, N, L_z+1)
+        y_cdfs = self._y_tables(sigma_np, nu_np, y_lo, L_y)
+
+        z_row_idx = _channel_row_idx(zh, zw, zc)
+        y_row_idx = (np.arange(yh * yw * yc, dtype=np.int32) if spatial
+                     else _channel_row_idx(yh, yw, yc))
+
         def encode_one(i: int):
-            zv, yv = z_np[i], y_np[i]
-            zmin, zmax = int(zv.min()) - tail, int(zv.max()) + tail
-            ymin, ymax = int(yv.min()) - tail, int(yv.max()) + tail
-            z_cdf = gaussian_cdf_rows(self._sigma_z, zmin, zmax, bucket)
-            z_bytes = rans_encode((zv - zmin).astype(np.int32).ravel(), z_cdf,
-                                  z_row_idx, n_states)
-            if spatial:
-                y_cdf = student_t_cdf_rows(sigma_np[i].ravel(),
-                                           nu_np[i].ravel(), ymin, ymax,
-                                           bucket)
-                y_row_idx = np.arange(yv.size, dtype=np.int32)
-            else:
-                y_cdf = student_t_cdf_rows(sigma_np[i, 0, 0], nu_np[i, 0, 0],
-                                           ymin, ymax, bucket)
-                y_row_idx = y_row_idx_chan
-            y_bytes = rans_encode((yv - ymin).astype(np.int32).ravel(), y_cdf,
-                                  y_row_idx, n_states)
-            return (zmin, zmax, ymin, ymax), z_bytes, y_bytes
+            z_sym = (z_np[i].ravel() - z_lo[i]).astype(np.int32)
+            y_sym = (y_np[i].ravel() - y_lo[i]).astype(np.int32)
+            z_bytes = rans_encode(z_sym, z_cdfs[i], z_row_idx, n_states)
+            y_bytes = rans_encode(y_sym, y_cdfs[i], y_row_idx, n_states)
+            return z_bytes, y_bytes
 
         with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            results = list(pool.map(encode_one, range(b)))
+            payloads = list(pool.map(encode_one, range(b)))
 
+        bounds = [(int(z_lo[i]), int(z_lo[i]) + L_z - 1,
+                   int(y_lo[i]), int(y_lo[i]) + L_y - 1) for i in range(b)]
         bs = Bitstream(y_shape=(b, yh, yw, yc), z_shape=(b, zh, zw, zc),
-                       bounds=[r[0] for r in results],
-                       z_payloads=[r[1] for r in results],
-                       y_payloads=[r[2] for r in results],
+                       bounds=bounds,
+                       z_payloads=[p[0] for p in payloads],
+                       y_payloads=[p[1] for p in payloads],
                        spatial_params=spatial, n_states=n_states, tail=tail)
         data = pack_bitstream(bs)
-        per_image_bits = [8 * (len(r[1]) + len(r[2])) for r in results]
+        per_image_bits = [8 * (len(p[0]) + len(p[1])) for p in payloads]
         payload_bits = float(sum(per_image_bits))
         return CompressResult(
             data=data,
@@ -125,49 +176,55 @@ class Codec:
 
     # --- decode ------------------------------------------------------------
 
-    def decompress(self, data: bytes) -> np.ndarray:
-        """bytes -> (B, H, W, 3) reconstruction in [0,1]."""
-        bs = unpack_bitstream(data)
+    def _decode_planes(self, bs: Bitstream):
+        """Shared decode path -> (y_hat, z_hat) float arrays."""
         b, yh, yw, yc = bs.y_shape
         _, zh, zw, zc = bs.z_shape
-        bucket = self.cfg.support_bucket
+        z_lo = np.asarray([bd[0] for bd in bs.bounds], np.int32)
+        L_z = bs.bounds[0][1] - bs.bounds[0][0] + 1
+        y_lo = np.asarray([bd[2] for bd in bs.bounds], np.int32)
+        L_y = bs.bounds[0][3] - bs.bounds[0][2] + 1
+
+        z_cdfs = self._z_tables(z_lo, L_z)
         z_row_idx = _channel_row_idx(zh, zw, zc)
-        y_row_idx_chan = _channel_row_idx(yh, yw, yc)
 
         def decode_z(i: int) -> np.ndarray:
-            zmin, zmax, _, _ = bs.bounds[i]
-            z_cdf = gaussian_cdf_rows(self._sigma_z, zmin, zmax, bucket)
-            sym = rans_decode(bs.z_payloads[i], zh * zw * zc, z_cdf,
+            sym = rans_decode(bs.z_payloads[i], zh * zw * zc, z_cdfs[i],
                               z_row_idx, bs.n_states)
-            return (sym.astype(np.float32) + zmin).reshape(zh, zw, zc)
+            return (sym + z_lo[i]).astype(np.int16).reshape(zh, zw, zc)
 
         with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
             z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
 
-        # One batched hyper-decode over all images — the exact call the
-        # encoder made, so (sigma, nu) and thus the y CDF tables match
-        # bitwise.
-        sigma, nu = self._hyper(self.params, jnp.asarray(z_hat), (yh, yw))
-        sigma_np, nu_np = np.asarray(sigma), np.asarray(nu)
+        # Batched hyper-decode over all images — the exact call the encoder
+        # made, so (sigma, nu) and thus the y CDF tables match bitwise.
+        sigma_np, nu_np = self._hyper_params(jnp.asarray(z_hat), (yh, yw))
+        y_cdfs = self._y_tables(sigma_np, nu_np, y_lo, L_y)
+        y_row_idx = (np.arange(yh * yw * yc, dtype=np.int32)
+                     if bs.spatial_params else _channel_row_idx(yh, yw, yc))
 
         def decode_y(i: int) -> np.ndarray:
-            _, _, ymin, ymax = bs.bounds[i]
-            if bs.spatial_params:
-                y_cdf = student_t_cdf_rows(sigma_np[i].ravel(),
-                                           nu_np[i].ravel(), ymin, ymax,
-                                           bucket)
-                y_row_idx = np.arange(yh * yw * yc, dtype=np.int32)
-            else:
-                y_cdf = student_t_cdf_rows(sigma_np[i, 0, 0], nu_np[i, 0, 0],
-                                           ymin, ymax, bucket)
-                y_row_idx = y_row_idx_chan
-            sym = rans_decode(bs.y_payloads[i], yh * yw * yc, y_cdf,
+            sym = rans_decode(bs.y_payloads[i], yh * yw * yc, y_cdfs[i],
                               y_row_idx, bs.n_states)
-            return (sym.astype(np.float32) + ymin).reshape(yh, yw, yc)
+            return (sym + y_lo[i]).astype(np.int16).reshape(yh, yw, yc)
 
         with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
             y_hat = np.stack(list(pool.map(decode_y, range(b))), axis=0)
+        return y_hat, z_hat
 
+    def decompress(self, data: bytes,
+                   quantize_output: bool = True) -> np.ndarray:
+        """bytes -> (B, H, W, 3) float32 reconstruction in [0,1].
+
+        quantize_output=True (default, the production path) quantizes the
+        reconstruction to 8 bits ON DEVICE before the host transfer (4x less
+        wire traffic; what gets written to PNG anyway). False keeps the exact
+        float synthesis output."""
+        bs = unpack_bitstream(data)
+        y_hat, _ = self._decode_planes(bs)
+        if quantize_output:
+            u8 = self._synthesize_u8(self.params, jnp.asarray(y_hat))
+            return np.asarray(u8).astype(np.float32) / 255.0
         x_hat = self._synthesize(self.params, jnp.asarray(y_hat))
         return np.asarray(jnp.clip(x_hat, 0.0, 1.0))
 
@@ -179,35 +236,7 @@ class Codec:
 
     def decoded_latents(self, data: bytes):
         """Decode only the symbol planes (for bit-exactness tests)."""
-        bs = unpack_bitstream(data)
-        b, yh, yw, yc = bs.y_shape
-        _, zh, zw, zc = bs.z_shape
-        bucket = self.cfg.support_bucket
-        z_hat = []
-        for i in range(b):
-            zmin, zmax, _, _ = bs.bounds[i]
-            z_cdf = gaussian_cdf_rows(self._sigma_z, zmin, zmax, bucket)
-            sym = rans_decode(bs.z_payloads[i], zh * zw * zc, z_cdf,
-                              _channel_row_idx(zh, zw, zc), bs.n_states)
-            z_hat.append((sym.astype(np.float32) + zmin).reshape(zh, zw, zc))
-        z_hat = np.stack(z_hat)
-        sigma, nu = self._hyper(self.params, jnp.asarray(z_hat), (yh, yw))
-        sigma_np, nu_np = np.asarray(sigma), np.asarray(nu)
-        y_hat = []
-        for i in range(b):
-            _, _, ymin, ymax = bs.bounds[i]
-            if bs.spatial_params:
-                y_cdf = student_t_cdf_rows(sigma_np[i].ravel(),
-                                           nu_np[i].ravel(), ymin, ymax, bucket)
-                y_row_idx = np.arange(yh * yw * yc, dtype=np.int32)
-            else:
-                y_cdf = student_t_cdf_rows(sigma_np[i, 0, 0], nu_np[i, 0, 0],
-                                           ymin, ymax, bucket)
-                y_row_idx = _channel_row_idx(yh, yw, yc)
-            sym = rans_decode(bs.y_payloads[i], yh * yw * yc, y_cdf,
-                              y_row_idx, bs.n_states)
-            y_hat.append((sym.astype(np.float32) + ymin).reshape(yh, yw, yc))
-        return np.stack(y_hat), z_hat
+        return self._decode_planes(unpack_bitstream(data))
 
 
 def compress_images(model, params, x: np.ndarray,

@@ -65,11 +65,14 @@ def pad_support(length: int, bucket: int = 64) -> int:
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _gaussian_pmf(sigma: jax.Array, lo: jax.Array, L_pad: int) -> jax.Array:
-    """(R,) sigma, scalar int lo -> (R, L_pad) bin probabilities of a zero-mean
-    Gaussian over support values lo..lo+L_pad-1."""
-    support = lo.astype(jnp.float32) + jnp.arange(L_pad, dtype=jnp.float32)
-    upper = (support[None, :] + 0.5) / sigma[:, None]
-    lower = (support[None, :] - 0.5) / sigma[:, None]
+    """(G, R) sigma + (G,) per-group integer lo -> (G, R, L_pad) bin
+    probabilities of zero-mean Gaussians over supports lo[g]..lo[g]+L_pad-1.
+    One call covers a whole batch of images (one device round trip — the
+    per-image reference loop would pay a host<->device latency per table)."""
+    support = (lo[:, None].astype(jnp.float32)
+               + jnp.arange(L_pad, dtype=jnp.float32)[None, :])  # (G, L)
+    upper = (support[:, None, :] + 0.5) / sigma[:, :, None]
+    lower = (support[:, None, :] - 0.5) / sigma[:, :, None]
     return jnp.clip(std_gaussian_cdf(upper) - std_gaussian_cdf(lower),
                     PMF_FLOOR, 1.0)
 
@@ -77,32 +80,52 @@ def _gaussian_pmf(sigma: jax.Array, lo: jax.Array, L_pad: int) -> jax.Array:
 @functools.partial(jax.jit, static_argnums=(3,))
 def _student_t_pmf(sigma: jax.Array, nu: jax.Array, lo: jax.Array,
                    L_pad: int) -> jax.Array:
-    """(R,) sigma & nu -> (R, L_pad) Student-t bin probabilities."""
-    support = lo.astype(jnp.float32) + jnp.arange(L_pad, dtype=jnp.float32)
-    upper = support[None, :] + 0.5
-    lower = support[None, :] - 0.5
-    fu = student_t_cdf(upper, sigma[:, None], nu[:, None])
-    fl = student_t_cdf(lower, sigma[:, None], nu[:, None])
+    """(G, R) sigma & nu + (G,) lo -> (G, R, L_pad) Student-t bin probs."""
+    support = (lo[:, None].astype(jnp.float32)
+               + jnp.arange(L_pad, dtype=jnp.float32)[None, :])
+    upper = support[:, None, :] + 0.5
+    lower = support[:, None, :] - 0.5
+    fu = student_t_cdf(upper, sigma[:, :, None], nu[:, :, None])
+    fl = student_t_cdf(lower, sigma[:, :, None], nu[:, :, None])
     return jnp.clip(fu - fl, PMF_FLOOR, 1.0)
 
 
-def gaussian_cdf_rows(sigma: np.ndarray, lo: int, hi: int,
-                      bucket: int = 64) -> np.ndarray:
-    """Integer CDF rows for symbols lo..hi under zero-mean Gaussians.
-    sigma: (R,). Returns (R, L+1) uint32, L = hi - lo + 1."""
-    L = hi - lo + 1
+def gaussian_cdf_rows_batch(sigma: np.ndarray, lo: np.ndarray, L: int,
+                            bucket: int = 64) -> np.ndarray:
+    """Batched integer CDF rows: (G, R) sigma, (G,) per-group lo, shared
+    support length L. Returns (G, R, L+1) uint32."""
     L_pad = pad_support(L, bucket)
     pmf = _gaussian_pmf(jnp.asarray(sigma, jnp.float32),
                         jnp.asarray(lo, jnp.int32), L_pad)
-    return quantize_pmf_to_cdf(np.asarray(pmf)[:, :L])
+    pmf_np = np.asarray(pmf)[:, :, :L]
+    g, r, _ = pmf_np.shape
+    return quantize_pmf_to_cdf(pmf_np.reshape(g * r, L)).reshape(g, r, L + 1)
 
 
-def student_t_cdf_rows(sigma: np.ndarray, nu: np.ndarray, lo: int, hi: int,
-                       bucket: int = 64) -> np.ndarray:
-    """Integer CDF rows for symbols lo..hi under zero-mean Student-t."""
-    L = hi - lo + 1
+def student_t_cdf_rows_batch(sigma: np.ndarray, nu: np.ndarray,
+                             lo: np.ndarray, L: int,
+                             bucket: int = 64) -> np.ndarray:
+    """Batched Student-t integer CDF rows, same layout as the Gaussian."""
     L_pad = pad_support(L, bucket)
     pmf = _student_t_pmf(jnp.asarray(sigma, jnp.float32),
                          jnp.asarray(nu, jnp.float32),
                          jnp.asarray(lo, jnp.int32), L_pad)
-    return quantize_pmf_to_cdf(np.asarray(pmf)[:, :L])
+    pmf_np = np.asarray(pmf)[:, :, :L]
+    g, r, _ = pmf_np.shape
+    return quantize_pmf_to_cdf(pmf_np.reshape(g * r, L)).reshape(g, r, L + 1)
+
+
+def gaussian_cdf_rows(sigma: np.ndarray, lo: int, hi: int,
+                      bucket: int = 64) -> np.ndarray:
+    """Single-group convenience: (R,) sigma -> (R, L+1) uint32 rows for
+    symbols lo..hi."""
+    return gaussian_cdf_rows_batch(np.asarray(sigma)[None], np.asarray([lo]),
+                                   hi - lo + 1, bucket)[0]
+
+
+def student_t_cdf_rows(sigma: np.ndarray, nu: np.ndarray, lo: int, hi: int,
+                       bucket: int = 64) -> np.ndarray:
+    """Single-group convenience for Student-t rows."""
+    return student_t_cdf_rows_batch(np.asarray(sigma)[None],
+                                    np.asarray(nu)[None], np.asarray([lo]),
+                                    hi - lo + 1, bucket)[0]

@@ -1,0 +1,210 @@
+"""Evaluation entry points — one CLI replacing the reference's per-script
+constants (modelseval.py, eval_selfcontained*.py, writeupbdcurves*.py,
+resultsanalysis*.py):
+
+    python -m dsic_tpu.eval.cli rd       --ckpt_root ... --images ... --out ...
+    python -m dsic_tpu.eval.cli single   --ckpt ... --image ... --output ...
+    python -m dsic_tpu.eval.cli entropy  --ckpt ... --image ... --output ...
+    python -m dsic_tpu.eval.cli bd       --ckpt_root ... --images ... --out ...
+    python -m dsic_tpu.eval.cli compare  --ckpt_root ... --image ... --out ...
+    python -m dsic_tpu.eval.cli scene    --ckpt ... --image ... --out ...
+    python -m dsic_tpu.eval.cli latents  --ckpt ... --images ... --out ...
+    python -m dsic_tpu.eval.cli throughput --batch 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from dsic_tpu.config import load_config, LAMBDA_GRID, ckpt_name
+
+
+def _cfg(args):
+    overrides = {}
+    if getattr(args, "spatial_params", False):
+        overrides["MODEL.spatial_params"] = True
+    return load_config(getattr(args, "config", None), overrides)
+
+
+def cmd_rd(args):
+    from dsic_tpu.eval.rd_eval import evaluate_model_lambdas, plot_rd_curves
+    from dsic_tpu.eval.baselines import BASELINE_CURVES
+    cfg = _cfg(args)
+    curve = evaluate_model_lambdas(cfg, args.ckpt_root, args.images, args.out,
+                                   max_images=args.max_images)
+    plot_rd_curves(curve, args.out, baselines=BASELINE_CURVES)
+    print(f"wrote RD summary to {args.out}")
+
+
+def cmd_single(args):
+    """Estimated-bpp single-image eval (eval_selfcontained.py equivalent)."""
+    from dsic_tpu.eval.entropy_eval import load_params
+    from dsic_tpu.eval.rd_eval import evaluate_model_on_images
+    from dsic_tpu.utils.image_io import load_image, save_image
+    import jax.numpy as jnp
+    from dsic_tpu.ops.pad import pad_to_multiple, crop_to
+    cfg = _cfg(args)
+    model, params = load_params(cfg, args.ckpt)
+    img = load_image(args.image)
+    row = evaluate_model_on_images(model, params, [img],
+                                   [os.path.basename(args.image)])[0]
+    print(f"bpp={row['bpp']:.4f} mse={row['mse']:.6f} "
+          f"psnr={row['psnr']:.3f} msssim={row['msssim']:.5f}")
+    if args.output:
+        x_pad, box = pad_to_multiple(jnp.asarray(img)[None], 16)
+        out = model.apply(params, x_pad, quant_mode="round", train=False)
+        save_image(args.output,
+                   np.asarray(crop_to(jnp.clip(out["x_hat"], 0, 1), box))[0])
+        print(f"saved reconstruction to {args.output}")
+
+
+def cmd_entropy(args):
+    from dsic_tpu.eval.entropy_eval import evaluate_image
+    cfg = _cfg(args)
+    evaluate_image(cfg, args.ckpt, args.image, args.output, tail=args.tail)
+
+
+def cmd_bd(args):
+    from dsic_tpu.eval.rd_eval import evaluate_model_lambdas
+    from dsic_tpu.eval.bd import bd_metrics
+    from dsic_tpu.eval.baselines import BASELINE_CURVES
+    from dsic_tpu.utils.csv_logger import CsvLogger
+    cfg = _cfg(args)
+    curve = evaluate_model_lambdas(cfg, args.ckpt_root, args.images, args.out,
+                                   max_images=args.max_images,
+                                   make_plots=False)
+    for name, base in BASELINE_CURVES.items():
+        m = bd_metrics(curve, base)
+        with CsvLogger(os.path.join(args.out,
+                                    f"bd_metrics_summary_{name}.csv"),
+                       list(m.keys())) as csv:
+            csv.log(**m)
+        print(name, {k: round(v, 4) for k, v in m.items()})
+
+
+def cmd_compare(args):
+    from dsic_tpu.eval.compare import process_single_image, BPP_EQUIV_FIELDS
+    from dsic_tpu.eval.entropy_eval import load_params
+    from dsic_tpu.utils.csv_logger import CsvLogger
+    from dsic_tpu.utils.image_io import load_image
+    cfg = _cfg(args)
+    img = load_image(args.image)
+    lambdas = [float(l) for l in args.lambdas.split(",")] if args.lambdas \
+        else LAMBDA_GRID
+    with CsvLogger(os.path.join(args.out, "bpp_equiv_summary.csv"),
+                   BPP_EQUIV_FIELDS) as csv:
+        for lam in lambdas:
+            path = os.path.join(args.ckpt_root, ckpt_name(lam))
+            try:
+                model, params = load_params(cfg, path)
+            except Exception as exc:  # noqa: BLE001
+                print(f"WARN: skip lambda={lam}: {exc}")
+                continue
+            row = process_single_image(model, params, img, lam, args.out, csv)
+            print(f"lambda={lam}: model bpp={row['model_bpp']:.4f} "
+                  f"msssim={row['model_ms-ssim']:.4f} | jpeg "
+                  f"q={row['jpeg_quality']} msssim={row['jpeg_ms-ssim']:.4f}")
+
+
+def cmd_scene(args):
+    from dsic_tpu.eval.entropy_eval import load_params
+    from dsic_tpu.eval.scene import roundtrip_scene
+    from dsic_tpu.codec.api import Codec
+    from dsic_tpu.utils.image_io import load_image, save_image
+    cfg = _cfg(args)
+    model, params = load_params(cfg, args.ckpt)
+    scene = load_image(args.image)
+    res = roundtrip_scene(Codec(model, params, cfg.CODEC), scene,
+                          tile=args.tile, overlap=args.overlap)
+    print(f"scene {scene.shape}: {res.num_tiles} tiles, bpp={res.bpp:.4f}, "
+          f"{res.num_bytes} bytes")
+    if args.out:
+        save_image(args.out, res.x_hat)
+        print(f"saved stitched reconstruction to {args.out}")
+
+
+def cmd_latents(args):
+    from dsic_tpu.eval.entropy_eval import load_params
+    from dsic_tpu.eval.latent_analysis import analyze_latents
+    from dsic_tpu.utils.image_io import list_images, load_image
+    cfg = _cfg(args)
+    model, params = load_params(cfg, args.ckpt)
+    paths = list_images(args.images)[:args.max_images]
+    imgs = np.stack([load_image(p) for p in paths])
+    fit = analyze_latents(model, params, imgs, args.out)
+    print(f"overall Student-t fit: nu={fit['nu']:.3f} sigma={fit['sigma']:.4f} "
+          f"t_beats_gauss={fit['t_beats_gauss']}")
+
+
+def cmd_throughput(args):
+    import jax
+    import jax.numpy as jnp
+    from dsic_tpu.models import CompressionModel
+    from dsic_tpu.eval.throughput import measure_forward, measure_codec
+    from dsic_tpu.data.synthetic import synthetic_patches
+    cfg = _cfg(args)
+    model = CompressionModel(N=cfg.MODEL.N, M=cfg.MODEL.M)
+    x = synthetic_patches(1, (256, 256), seed=0)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, jnp.asarray(x))
+    fwd = measure_forward(model, params, batch=args.batch)
+    cod = measure_codec(model, params, batch=args.batch)
+    print(f"forward: {fwd['patches_per_sec']:.1f} patches/s | codec "
+          f"enc+dec: {cod['patches_per_sec']:.1f} patches/s "
+          f"(enc {cod['encode_patches_per_sec']:.1f} / dec "
+          f"{cod['decode_patches_per_sec']:.1f})")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="dsic_tpu evaluation suite")
+    p.add_argument("--config", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, ckpt_root=False, ckpt=False, images=False, image=False,
+               out=True):
+        if ckpt_root:
+            sp.add_argument("--ckpt_root", required=True)
+        if ckpt:
+            sp.add_argument("--ckpt", required=True)
+        if images:
+            sp.add_argument("--images", required=True)
+            sp.add_argument("--max_images", type=int, default=1000)
+        if image:
+            sp.add_argument("--image", required=True)
+        if out:
+            sp.add_argument("--out", default="results")
+        sp.add_argument("--spatial_params", action="store_true")
+
+    sp = sub.add_parser("rd"); common(sp, ckpt_root=True, images=True)
+    sp.set_defaults(fn=cmd_rd)
+    sp = sub.add_parser("single"); common(sp, ckpt=True, image=True, out=False)
+    sp.add_argument("--output", default=None); sp.set_defaults(fn=cmd_single)
+    sp = sub.add_parser("entropy"); common(sp, ckpt=True, image=True, out=False)
+    sp.add_argument("--output", default="recon.png")
+    sp.add_argument("--tail", type=int, default=None)
+    sp.set_defaults(fn=cmd_entropy)
+    sp = sub.add_parser("bd"); common(sp, ckpt_root=True, images=True)
+    sp.set_defaults(fn=cmd_bd)
+    sp = sub.add_parser("compare"); common(sp, ckpt_root=True, image=True)
+    sp.add_argument("--lambdas", default=None); sp.set_defaults(fn=cmd_compare)
+    sp = sub.add_parser("scene"); common(sp, ckpt=True, image=True, out=False)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--tile", type=int, default=256)
+    sp.add_argument("--overlap", type=int, default=16)
+    sp.set_defaults(fn=cmd_scene)
+    sp = sub.add_parser("latents"); common(sp, ckpt=True, images=True)
+    sp.set_defaults(fn=cmd_latents)
+    sp = sub.add_parser("throughput")
+    sp.add_argument("--batch", type=int, default=32)
+    sp.add_argument("--spatial_params", action="store_true")
+    sp.set_defaults(fn=cmd_throughput)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

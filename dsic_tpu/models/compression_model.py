@@ -133,6 +133,25 @@ class CompressionModel(nn.Module):
         z = self.h_a(y)
         return jnp.round(y), jnp.round(z)
 
+    def encode_latents_i16(self, x: jax.Array):
+        """Like :meth:`encode_latents` but int16 outputs — 4x less host
+        transfer for the codec (latent magnitudes are far below 2^15)."""
+        y_q, z_q = self.encode_latents(x)
+        return y_q.astype(jnp.int16), z_q.astype(jnp.int16)
+
+    def hyper_channel_params(self, z_hat: jax.Array):
+        """Global-parameter mode: z -> per-channel (sigma, nu) of shape (B, M)
+        — what the codec's CDF tables actually consume; avoids shipping
+        spatially-broadcast maps to the host."""
+        sigma, nu = self.latent_params(z_hat, latent_hw=(1, 1))
+        return sigma[:, 0, 0, :], nu[:, 0, 0, :]
+
+    def synthesize_u8(self, y_hat: jax.Array) -> jax.Array:
+        """g_s + clip + 8-bit quantization on device (the codec's production
+        output path; 4x less host transfer than float32)."""
+        x_hat = jnp.clip(self.g_s(y_hat.astype(jnp.float32)), 0.0, 1.0)
+        return (x_hat * 255.0 + 0.5).astype(jnp.uint8)
+
     def hyper_decode(self, z_hat: jax.Array, latent_hw):
         """z_hat -> (sigma, nu) at the given latent spatial size (decoder side;
         eval_selfcontained_entropy.py:100-106)."""

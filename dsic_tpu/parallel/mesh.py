@@ -21,6 +21,19 @@ DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
 
 
+def initialize_distributed() -> bool:
+    """Initialize jax.distributed from the TPU pod environment (multi-host
+    training; collectives ride ICI within a slice, DCN across slices). Safe
+    no-op on single-host. Returns True if a multi-process runtime came up."""
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") or \
+            os.environ.get("TPU_WORKER_HOSTNAMES"):
+        jax.distributed.initialize()
+        return jax.process_count() > 1
+    return False
+
+
 def make_mesh(n_data: int = -1, n_spatial: int = 1,
               devices=None) -> Mesh:
     """Build a (data, spatial) mesh. n_data == -1 uses all remaining devices."""

@@ -150,11 +150,16 @@ def test_codec_roundtrip_lossless_latents(spatial):
     y_hat, z_hat = codec.decoded_latents(res.data)
     np.testing.assert_array_equal(y_hat, y_q)
     np.testing.assert_array_equal(z_hat, z_q)
-    # full reconstruction equals synthesize(y_q)
-    x_hat = codec.decompress(res.data)
+    # exact path: reconstruction equals synthesize(y_q) bit for bit
+    x_hat = codec.decompress(res.data, quantize_output=False)
     want = np.asarray(jnp.clip(
-        model.apply(params, jnp.asarray(y_q), method=model.synthesize), 0, 1))
+        model.apply(params, jnp.asarray(y_q, jnp.float32),
+                    method=model.synthesize), 0, 1))
     np.testing.assert_allclose(x_hat, want, atol=1e-6)
+    # production path: 8-bit quantized on device
+    x_hat_q = codec.decompress(res.data)
+    np.testing.assert_allclose(x_hat_q, np.round(want * 255) / 255,
+                               atol=1.0 / 255)
 
 
 def test_real_bpp_close_to_estimated():
