@@ -53,7 +53,15 @@ def _channel_row_idx(h: int, w: int, c: int) -> np.ndarray:
 
 
 class Codec:
-    def __init__(self, model, params, cfg: CodecConfig | None = None):
+    def __init__(self, model, params, cfg: CodecConfig | None = None,
+                 compute_dtype=None):
+        """compute_dtype=jnp.bfloat16 runs the conv transforms in bf16 on the
+        MXU (~2x analysis throughput; the hyper path stays consistent between
+        encoder and decoder by construction, so round-trips remain lossless —
+        only the RD point shifts marginally). Default: the model's own dtype
+        (float32 unless trained with AMP)."""
+        if compute_dtype is not None and compute_dtype != model.dtype:
+            model = model.clone(dtype=compute_dtype)
         self.model = model
         self.params = params
         self.cfg = cfg or CodecConfig()

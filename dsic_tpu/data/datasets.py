@@ -79,7 +79,20 @@ class FolderImages:
         return len(self.paths)
 
     def __getitem__(self, idx: int) -> np.ndarray:
-        img = load_image(self.paths[idx])
+        # WARN-and-substitute on unreadable files (the reference's
+        # warn-and-continue posture, modelseval.py:202-204): a corrupt image
+        # must not kill a long training run.
+        last_exc = None
+        for attempt in range(4):
+            try:
+                img = load_image(self.paths[(idx + attempt) % len(self.paths)])
+                break
+            except Exception as exc:  # noqa: BLE001
+                print(f"[data] WARN: failed to read "
+                      f"{self.paths[(idx + attempt) % len(self.paths)]}: {exc}")
+                last_exc = exc
+        else:
+            raise last_exc
         with self._lock:
             flip = self.train and self._rng.random() < 0.5
             if self.shape_policy == "crop":

@@ -40,11 +40,14 @@ def evaluate_array(cfg: Config, model, params, img: np.ndarray,
                    log_fn=print) -> dict:
     x = jnp.asarray(img)[None]
     x_pad, box = pad_to_multiple(x, 16)
+    h, w = img.shape[:2]
 
-    # forward estimate (eval_selfcontained_entropy.py:141-144)
+    # forward estimate (eval_selfcontained_entropy.py:141-144). Both bpp
+    # figures are expressed over the ORIGINAL pixel count so estimated vs
+    # real compare apples-to-apples (the real-bpp convention, :148-149).
     out = model.apply(params, x_pad, quant_mode="round", train=False)
-    _, r_est, d = rate_distortion_loss(out, x_pad, lambda_rd=1.0,
-                                       dist="msssim")
+    _, _, d = rate_distortion_loss(out, x_pad, lambda_rd=1.0, dist="msssim")
+    r_est = (jnp.sum(out["nll_y"]) + jnp.sum(out["nll_z"])) / (h * w)
     log_fn(f"[forward] estimated bpp R = {float(r_est):.4f}, "
            f"D = {float(d):.5f}")
 
@@ -56,7 +59,6 @@ def evaluate_array(cfg: Config, model, params, img: np.ndarray,
     res = codec.compress(np.asarray(x_pad))
     # real bpp counts payload bytes over the ORIGINAL pixel count
     # (eval_selfcontained_entropy.py:148-149)
-    h, w = img.shape[:2]
     bpp_real = sum(res.per_image_bits) / (h * w)
     log_fn(f"[entropy coding] compressed (real) bpp = {bpp_real:.4f}")
 

@@ -98,7 +98,10 @@ class Trainer:
     def fit(self, train_loader, val_loader=None, max_steps: int | None = None,
             log_fn=print):
         cfg = self.cfg
-        csv = CsvLogger(os.path.join(self.ckpt_dir, "train_log.csv"),
+        lam = self.cfg.LOSS.lambda_rd
+        lam_tag = int(lam) if float(lam).is_integer() else lam
+        csv = CsvLogger(os.path.join(self.ckpt_dir,
+                                     f"train_log_lambda{lam_tag}.csv"),
                         ["step", "epoch", "loss", "R_bpp", "D", "msssim",
                          "grad_norm", "sec_per_step"])
         t_last = time.perf_counter()

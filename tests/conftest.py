@@ -11,4 +11,7 @@ if "--xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 # The axon TPU plugin ignores JAX_PLATFORMS; the config knob works.
-jax.config.update("jax_platforms", "cpu")
+# DSIC_TESTS_TPU=1 keeps the real backend so tests/test_pallas_tpu.py can run
+# against hardware: `DSIC_TESTS_TPU=1 pytest tests/test_pallas_tpu.py`.
+if not os.environ.get("DSIC_TESTS_TPU"):
+    jax.config.update("jax_platforms", "cpu")
