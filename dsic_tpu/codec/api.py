@@ -115,6 +115,8 @@ class Codec:
             sigma, nu = self._hyper_channel(self.params, z_dev)
         return np.asarray(sigma), np.asarray(nu)
 
+    MAX_SUPPORT = 8192  # sane trained models need ~10-100 symbols
+
     @staticmethod
     def _bounds(vals: np.ndarray, tail: int, bucket: int):
         """Per-image lo and a shared bucketed support length L covering every
@@ -124,6 +126,11 @@ class Codec:
         lo = np.floor(flat.min(axis=1)).astype(np.int64) - tail
         hi = np.ceil(flat.max(axis=1)).astype(np.int64) + tail
         L = pad_support(int((hi - lo + 1).max()), bucket)
+        if L > Codec.MAX_SUPPORT:
+            raise ValueError(
+                f"latent symbol range {L} exceeds MAX_SUPPORT="
+                f"{Codec.MAX_SUPPORT}; the checkpoint looks diverged "
+                "(CDF tables would need gigabytes)")
         return lo.astype(np.int32), L
 
     # --- encode ------------------------------------------------------------

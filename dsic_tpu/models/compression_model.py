@@ -135,9 +135,13 @@ class CompressionModel(nn.Module):
 
     def encode_latents_i16(self, x: jax.Array):
         """Like :meth:`encode_latents` but int16 outputs — 4x less host
-        transfer for the codec (latent magnitudes are far below 2^15)."""
+        transfer for the codec (trained latent magnitudes are O(100); the
+        clip only guards degenerate/diverged checkpoints from silent int16
+        wraparound)."""
         y_q, z_q = self.encode_latents(x)
-        return y_q.astype(jnp.int16), z_q.astype(jnp.int16)
+        lim = 30000.0
+        return (jnp.clip(y_q, -lim, lim).astype(jnp.int16),
+                jnp.clip(z_q, -lim, lim).astype(jnp.int16))
 
     def hyper_channel_params(self, z_hat: jax.Array):
         """Global-parameter mode: z -> per-channel (sigma, nu) of shape (B, M)

@@ -59,6 +59,12 @@ def _ssim_parts(x: jax.Array, y: jax.Array, data_range: float,
     sigma_xy = _blur(x * y, win_size, sigma) - mu_xy
     cs_map = (2.0 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
     ssim_map = ((2.0 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs_map
+    # By Cauchy-Schwarz the true maps never exceed 1; values above 1 are pure
+    # float32 cancellation noise in blur(x*x) - mu*mu (visible on TPU for
+    # near-identical pairs). Clamp the upper bound only — negative SSIM is a
+    # real signal and stays.
+    cs_map = jnp.minimum(cs_map, 1.0)
+    ssim_map = jnp.minimum(ssim_map, 1.0)
     reduce_axes = tuple(range(1, x.ndim))
     return jnp.mean(ssim_map, axis=reduce_axes), jnp.mean(cs_map, axis=reduce_axes)
 

@@ -45,6 +45,11 @@ def test_ms_ssim_tpu_matches_cpu_reference():
     np.testing.assert_allclose(v1, 1.0, atol=1e-4)
     s = float(ssim(jnp.asarray(x), jnp.asarray(y))[0])
     assert 0.0 < s <= 1.0
+    # near-identical pair: f32 cancellation noise must not push above 1
+    y2 = np.clip(x + 0.002 * rng.standard_normal(x.shape).astype(np.float32),
+                 0, 1)
+    v2 = float(ms_ssim(jnp.asarray(x), jnp.asarray(y2))[0])
+    assert 0.97 < v2 <= 1.0
 
 
 @tpu_only
