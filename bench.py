@@ -32,7 +32,9 @@ def _build(model_cls, params_rng):
     params = model.init({"params": jax.random.PRNGKey(params_rng),
                          "noise": jax.random.PRNGKey(1)},
                         jnp.asarray(x[:1]))
-    return model, params, x
+    # uint8 on the wire — the production input format (device-normalized)
+    x_u8 = (x * 255.0 + 0.5).astype(np.uint8)
+    return model, params, x_u8
 
 
 def _measure(codec, x, iters: int, warmup: int) -> float:

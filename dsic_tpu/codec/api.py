@@ -136,16 +136,46 @@ class Codec:
     # --- encode ------------------------------------------------------------
 
     def compress(self, x: np.ndarray) -> CompressResult:
-        """x: (B, H, W, 3) float in [0,1], H and W multiples of 16."""
+        """x: (B, H, W, 3), float in [0,1] or uint8 (preferred on the wire:
+        4x less host->device transfer; normalized on device). H and W must be
+        multiples of 16."""
+        return self._host_encode(self._device_encode(x))
+
+    def compress_stream(self, batches):
+        """Pipelined streaming encode: device transforms for batch i+1 run
+        while the host builds tables and rANS-codes batch i (JAX async
+        dispatch provides the overlap). Yields one CompressResult per input
+        batch, in order."""
+        from collections import deque
+        pending = deque()
+        for x in batches:
+            pending.append(self._device_encode(x))
+            if len(pending) >= 2:
+                yield self._host_encode(pending.popleft())
+        while pending:
+            yield self._host_encode(pending.popleft())
+
+    def _device_encode(self, x: np.ndarray):
+        """Dispatch the device-side encoder work (non-blocking)."""
         b, h, w, _ = x.shape
         if h % 16 or w % 16:
             raise ValueError("pad input to a multiple of 16 first "
                              "(ops.pad_to_multiple)")
         y_q, z_q = self._encode_latents(self.params, jnp.asarray(x))
+        if self.model.spatial_params:
+            sigma, nu = self._hyper_full(self.params, z_q,
+                                         (y_q.shape[1], y_q.shape[2]))
+        else:
+            sigma, nu = self._hyper_channel(self.params, z_q)
+        return (h, w), y_q, z_q, sigma, nu
+
+    def _host_encode(self, handles) -> CompressResult:
+        (h, w), y_q, z_q, sigma, nu = handles
+        b = y_q.shape[0]
         yh, yw, yc = y_q.shape[1:]
         zh, zw, zc = z_q.shape[1:]
-        sigma_np, nu_np = self._hyper_params(z_q, (yh, yw))
-
+        sigma_np = np.asarray(sigma)
+        nu_np = np.asarray(nu)
         y_np = np.asarray(y_q).astype(np.int64)  # int16 on the wire
         z_np = np.asarray(z_q).astype(np.int64)
 

@@ -61,7 +61,10 @@ class FolderImages:
 
     def __init__(self, root_or_paths, crop_size: int = 256, train: bool = True,
                  shape_policy: str = "pad", pad_multiple: int = 16,
-                 seed: int = 0):
+                 seed: int = 0, wire_dtype: str = "uint8"):
+        """wire_dtype="uint8" ships 8-bit images to the accelerator (4x less
+        host->device transfer; jitted steps normalize on device);
+        "float32" yields [0,1] floats (the reference's to_tensor format)."""
         if isinstance(root_or_paths, (list, tuple)):
             self.paths = list(root_or_paths)
         else:
@@ -72,6 +75,7 @@ class FolderImages:
         self.train = train
         self.shape_policy = shape_policy
         self.pad_multiple = pad_multiple
+        self.wire_dtype = wire_dtype
         self._rng = np.random.default_rng(seed)
         self._lock = threading.Lock()
 
@@ -101,6 +105,8 @@ class FolderImages:
             img = _pad_to_multiple_np(img, self.pad_multiple)
         if flip:
             img = img[:, ::-1]
+        if self.wire_dtype == "uint8":
+            img = (img * 255.0 + 0.5).astype(np.uint8)
         return np.ascontiguousarray(img)
 
 
@@ -171,7 +177,8 @@ def make_loaders(cfg):
     train_paths, val_paths = split_paths(paths, cfg.DATA.val_fraction,
                                          cfg.DATA.seed)
     common = dict(crop_size=cfg.DATA.crop_size, shape_policy=cfg.DATA.shape_policy,
-                  pad_multiple=cfg.DATA.pad_multiple)
+                  pad_multiple=cfg.DATA.pad_multiple,
+                  wire_dtype=getattr(cfg.DATA, "wire_dtype", "uint8"))
     train_ds = FolderImages(train_paths, train=True, seed=cfg.DATA.seed,
                             **common)
     val_ds = FolderImages(val_paths, train=False, seed=cfg.DATA.seed + 1,

@@ -39,7 +39,7 @@ def measure_codec(model, params, batch: int = 8, hw=(256, 256),
                   iters: int = 5, warmup: int = 1, cfg=None) -> dict:
     """Full real-bitstream encode+decode throughput."""
     codec = Codec(model, params, cfg)
-    x = synthetic_patches(batch, hw, seed=0)
+    x = (synthetic_patches(batch, hw, seed=0) * 255 + 0.5).astype(np.uint8)
     for _ in range(warmup):
         res = codec.compress(x)
         codec.decompress(res.data)

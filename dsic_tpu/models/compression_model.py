@@ -134,10 +134,13 @@ class CompressionModel(nn.Module):
         return jnp.round(y), jnp.round(z)
 
     def encode_latents_i16(self, x: jax.Array):
-        """Like :meth:`encode_latents` but int16 outputs — 4x less host
-        transfer for the codec (trained latent magnitudes are O(100); the
+        """Like :meth:`encode_latents` but wire-friendly: accepts uint8 input
+        (normalized to [0,1] on device — 4x less host->device transfer than
+        float32 images) and returns int16 latents (4x less device->host; the
         clip only guards degenerate/diverged checkpoints from silent int16
         wraparound)."""
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) * (1.0 / 255.0)
         y_q, z_q = self.encode_latents(x)
         lim = 30000.0
         return (jnp.clip(y_q, -lim, lim).astype(jnp.int16),

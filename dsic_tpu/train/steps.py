@@ -22,6 +22,9 @@ def make_train_step(model, tx, lambda_rd: float, dist: str = "msssim",
     """Returns jitted (state, x, key) -> (state, metrics dict)."""
 
     def step(state: TrainState, x: jax.Array, key: jax.Array):
+        if x.dtype == jnp.uint8:  # wire format: normalize on device
+            x = x.astype(jnp.float32) * (1.0 / 255.0)
+
         def loss_fn(params):
             out = model.apply(params, x, quant_mode="noise", train=True,
                               rngs={"noise": key})
@@ -43,6 +46,8 @@ def make_eval_step(model, lambda_rd: float, dist: str = "msssim"):
     """Round-quantization validation step (train.py:149-162)."""
 
     def step(params, x: jax.Array):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) * (1.0 / 255.0)
         out = model.apply(params, x, quant_mode="round", train=False)
         loss, r, d = rate_distortion_loss(out, x, lambda_rd=lambda_rd,
                                           dist=dist)
@@ -59,6 +64,9 @@ def make_sharded_train_step(model, tx, lambda_rd: float, mesh,
     replicated, gradient all-reduce inserted by XLA."""
 
     def step(state: TrainState, x: jax.Array, key: jax.Array):
+        if x.dtype == jnp.uint8:  # wire format: normalize on device
+            x = x.astype(jnp.float32) * (1.0 / 255.0)
+
         def loss_fn(params):
             out = model.apply(params, x, quant_mode="noise", train=True,
                               rngs={"noise": key})

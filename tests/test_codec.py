@@ -162,6 +162,32 @@ def test_codec_roundtrip_lossless_latents(spatial):
                                atol=1.0 / 255)
 
 
+def test_uint8_input_equivalent():
+    """uint8 images (device-normalized) produce the same bitstream as the
+    equivalent float input."""
+    model = CompressionModel(N=16, M=24)
+    x8 = (synthetic_patches(2, (64, 64), seed=7) * 255 + 0.5).astype(np.uint8)
+    xf = x8.astype(np.float32) / 255.0
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, jnp.asarray(xf))
+    codec = Codec(model, params)
+    res8 = codec.compress(x8)
+    resf = codec.compress(xf)
+    assert res8.data == resf.data
+
+
+def test_compress_stream_matches_sequential():
+    model = CompressionModel(N=16, M=24)
+    batches = [synthetic_patches(2, (64, 64), seed=s) for s in range(3)]
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)},
+                        jnp.asarray(batches[0]))
+    codec = Codec(model, params)
+    seq = [codec.compress(b).data for b in batches]
+    stream = [r.data for r in codec.compress_stream(iter(batches))]
+    assert stream == seq
+
+
 def test_real_bpp_close_to_estimated():
     """The eval_selfcontained_entropy.py:141-150 invariant: arithmetic-coded
     bpp tracks the nll-sum estimate."""

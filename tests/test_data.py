@@ -14,8 +14,14 @@ def test_folder_dataset_pads_to_multiple(tmp_path):
     ds = FolderImages(str(tmp_path), train=False, shape_policy="pad")
     img = ds[0]
     assert img.shape == (128, 128, 3)
-    assert img.dtype == np.float32
-    assert 0.0 <= img.min() and img.max() <= 1.0
+    assert img.dtype == np.uint8  # wire format default
+    dsf = FolderImages(str(tmp_path), train=False, shape_policy="pad",
+                       wire_dtype="float32")
+    imgf = dsf[0]
+    assert imgf.dtype == np.float32
+    assert 0.0 <= imgf.min() and imgf.max() <= 1.0
+    np.testing.assert_allclose(img.astype(np.float32) / 255.0, imgf,
+                               atol=1 / 255)
 
 
 def test_loader_batches_and_drop_last(tmp_path):
