@@ -257,6 +257,22 @@ class Codec:
             y_hat = np.stack(list(pool.map(decode_y, range(b))), axis=0)
         return y_hat, z_hat
 
+    def decompress_stream(self, datas, quantize_output: bool = True):
+        """Pipelined streaming decode over an iterable of bitstreams: two
+        in-flight decodes overlap each other's host (rANS, numpy) and device
+        (hyper/synthesis) phases. Yields reconstructions in order; each result
+        is identical to :meth:`decompress` of the same bytes."""
+        from collections import deque
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            pending = deque()
+            for data in datas:
+                pending.append(pool.submit(self.decompress, data,
+                                           quantize_output))
+                if len(pending) >= 2:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+
     def decompress(self, data: bytes,
                    quantize_output: bool = True) -> np.ndarray:
         """bytes -> (B, H, W, 3) float32 reconstruction in [0,1].

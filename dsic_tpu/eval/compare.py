@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from dsic_tpu.eval.jpeg import find_jpeg_quality_for_target_bpp, jpeg_encode_decode
 from dsic_tpu.eval.rd_eval import evaluate_model_on_images
-from dsic_tpu.ops.msssim import ms_ssim, psnr
+from dsic_tpu.ops.msssim import psnr
 from dsic_tpu.utils.csv_logger import CsvLogger
 from dsic_tpu.utils.image_io import save_image
 

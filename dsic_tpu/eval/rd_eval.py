@@ -20,18 +20,18 @@ import jax
 import jax.numpy as jnp
 
 from dsic_tpu.config import Config, LAMBDA_GRID, ckpt_name
-from dsic_tpu.models import rate_distortion_loss
 from dsic_tpu.ops.msssim import ms_ssim, ssim, psnr as psnr_op
 from dsic_tpu.ops.pad import pad_to_multiple, crop_to
 from dsic_tpu.train.state import build_model, create_train_state
 from dsic_tpu.utils.checkpoint import restore_checkpoint
 from dsic_tpu.utils.csv_logger import CsvLogger
-from dsic_tpu.utils.image_io import load_image
 
 
 def _eval_batch_fn(model):
     @jax.jit
     def run(params, x_pad):
+        if x_pad.dtype == jnp.uint8:  # wire format: normalize on device
+            x_pad = x_pad.astype(jnp.float32) * (1.0 / 255.0)
         out = model.apply(params, x_pad, quant_mode="round", train=False)
         bits = (jnp.sum(out["nll_y"], axis=(1, 2, 3))
                 + jnp.sum(out["nll_z"], axis=(1, 2, 3)))
@@ -42,8 +42,9 @@ def _eval_batch_fn(model):
 def evaluate_model_on_images(model, params, images: list[np.ndarray],
                              names: list[str] | None = None,
                              batch_size: int = 8) -> list[dict]:
-    """Per-image RD metrics at round quantization. Images are HWC float [0,1]
-    of arbitrary sizes; same-padded-shape images are batched together."""
+    """Per-image RD metrics at round quantization. Images are HWC, uint8
+    (preferred wire format; file-loaded 8-bit images lose nothing) or float
+    [0,1], of arbitrary sizes; same-padded-shape images batch together."""
     names = names or [f"img_{i}" for i in range(len(images))]
     run = _eval_batch_fn(model)
 
@@ -59,6 +60,8 @@ def evaluate_model_on_images(model, params, images: list[np.ndarray],
             x_pad, box = pad_to_multiple(jnp.asarray(x), 16)
             x_hat_pad, bits = run(params, x_pad)
             x_hat = crop_to(x_hat_pad, box)
+            if x.dtype == np.uint8:
+                x = x.astype(np.float32) / 255.0
             xb = jnp.asarray(x)
             h, w = shape[:2]
             if min(h, w) > 40:
@@ -84,10 +87,10 @@ def evaluate_model_lambdas(cfg: Config, ckpt_root: str, image_dir: str,
     images, write per-image + aggregate CSVs and RD plots. Checkpoints that
     fail to load are skipped with a warning (the reference's WARN-and-continue
     posture). Returns the aggregate curve dict."""
-    from dsic_tpu.utils.image_io import list_images as _list
+    from dsic_tpu.utils.image_io import list_images as _list, load_image_u8
     os.makedirs(out_dir, exist_ok=True)
     paths = _list(image_dir)[:max_images]
-    images = [load_image(p) for p in paths]
+    images = [load_image_u8(p) for p in paths]
     names = [os.path.basename(p) for p in paths]
 
     model = build_model(cfg, train_dtype=None)

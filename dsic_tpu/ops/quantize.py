@@ -51,7 +51,6 @@ def quantize_noise_pallas(x: jax.Array, seed: int | jax.Array,
     PRNG (pltpu.prng_random_bits) — one fused pass, no separate random tensor
     materialized in HBM. Distribution-equivalent (not bitwise) to
     :func:`quantize_noise`; gradient is identity like the jax.random path."""
-    import functools
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

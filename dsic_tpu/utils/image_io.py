@@ -29,6 +29,11 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
+def load_image_u8(path: str) -> np.ndarray:
+    """HWC uint8 — the device wire format (jitted paths normalize)."""
+    return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+
+
 def save_image(path: str, array) -> None:
     """HWC float in [0,1] (or NHWC with N==1) -> 8-bit image file."""
     arr = np.asarray(array)

@@ -14,7 +14,7 @@ from dsic_tpu.codec.cdf import (
     quantize_pmf_to_cdf, gaussian_cdf_rows, student_t_cdf_rows, TOTAL)
 from dsic_tpu.codec.bitstream import Bitstream, pack_bitstream, unpack_bitstream
 from dsic_tpu.codec.api import Codec
-from dsic_tpu.config import CodecConfig
+
 from dsic_tpu.models import CompressionModel, rate_distortion_loss
 from dsic_tpu.data.synthetic import synthetic_patches
 
@@ -186,6 +186,11 @@ def test_compress_stream_matches_sequential():
     seq = [codec.compress(b).data for b in batches]
     stream = [r.data for r in codec.compress_stream(iter(batches))]
     assert stream == seq
+    # streaming decode matches one-shot decode, in order
+    seq_out = [codec.decompress(d) for d in seq]
+    stream_out = list(codec.decompress_stream(iter(seq)))
+    for a, b in zip(stream_out, seq_out):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_real_bpp_close_to_estimated():

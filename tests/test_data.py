@@ -5,7 +5,7 @@ import jax.numpy as jnp
 
 from dsic_tpu.data.datasets import FolderImages, Loader, split_paths
 from dsic_tpu.data.synthetic import write_synthetic_dataset, synthetic_patches
-from dsic_tpu.data.bands import merge_bands, create_rgb_from_pngs, process_all_patches
+from dsic_tpu.data.bands import merge_bands, process_all_patches
 from dsic_tpu.utils.image_io import save_image, load_image
 
 

@@ -6,7 +6,6 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from dsic_tpu.eval.bd import bd_rate, bd_quality, bd_metrics
 from dsic_tpu.eval.jpeg import (

@@ -4,7 +4,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from dsic_tpu.config import Config
 from dsic_tpu.data.synthetic import synthetic_patches

@@ -12,9 +12,9 @@ architecture-equivalence evidence short of loading reference checkpoints.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
+
 import torch
-import torch.nn as tnn
+
 import torch.nn.functional as F
 
 from dsic_tpu.models import CompressionModel

@@ -4,7 +4,6 @@ save/restore round-trips, trainer loop runs end to end with validation."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from dsic_tpu.config import Config, load_config, ckpt_name
 from dsic_tpu.data.synthetic import synthetic_patches
