@@ -9,8 +9,10 @@ from dsic_tpu.models.compression_model import (
     CompressionModel,
     rate_distortion_loss,
 )
+from dsic_tpu.models.zoo import MODEL_ZOO, ModelSpec, build
 
 __all__ = [
     "GDN", "AnalysisTransform", "SynthesisTransform", "HyperAnalysis",
     "HyperSynthesis", "CompressionModel", "rate_distortion_loss",
+    "MODEL_ZOO", "ModelSpec", "build",
 ]
