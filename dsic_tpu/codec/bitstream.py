@@ -26,6 +26,26 @@ VERSION = 1
 _HEAD = struct.Struct("<4sBBBB7H")
 _IMG = struct.Struct("<4i2I")
 
+FILE_SUFFIX = ".dsic"
+
+
+def save_bitstream(path: str, data: bytes) -> str:
+    import os
+    if not path.endswith(FILE_SUFFIX):
+        path = path + FILE_SUFFIX
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(data)
+    return path
+
+
+def load_bitstream(path: str) -> bytes:
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != MAGIC:
+        raise ValueError(f"{path} is not a DSTC bitstream")
+    return data
+
 
 @dataclass
 class Bitstream:

@@ -64,7 +64,8 @@ def cmd_single(args):
 def cmd_entropy(args):
     from dsic_tpu.eval.entropy_eval import evaluate_image
     cfg = _cfg(args)
-    evaluate_image(cfg, args.ckpt, args.image, args.output, tail=args.tail)
+    evaluate_image(cfg, args.ckpt, args.image, args.output, tail=args.tail,
+                   bitstream_path=args.bitstream)
 
 
 def cmd_bd(args):
@@ -185,6 +186,8 @@ def main(argv=None):
     sp = sub.add_parser("entropy"); common(sp, ckpt=True, image=True, out=False)
     sp.add_argument("--output", default="recon.png")
     sp.add_argument("--tail", type=int, default=None)
+    sp.add_argument("--bitstream", default=None,
+                    help="also write the .dsic bitstream file")
     sp.set_defaults(fn=cmd_entropy)
     sp = sub.add_parser("bd"); common(sp, ckpt_root=True, images=True)
     sp.set_defaults(fn=cmd_bd)

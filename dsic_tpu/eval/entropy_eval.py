@@ -29,15 +29,16 @@ def load_params(cfg: Config, ckpt_path: str):
 
 def evaluate_image(cfg: Config, ckpt_path: str, image_path: str,
                    output_path: str = "recon.png", tail: int | None = None,
-                   log_fn=print) -> dict:
+                   bitstream_path: str | None = None, log_fn=print) -> dict:
     model, params = load_params(cfg, ckpt_path)
     img = load_image(image_path)
-    return evaluate_array(cfg, model, params, img, output_path, tail, log_fn)
+    return evaluate_array(cfg, model, params, img, output_path, tail, log_fn,
+                          bitstream_path=bitstream_path)
 
 
 def evaluate_array(cfg: Config, model, params, img: np.ndarray,
                    output_path: str | None = None, tail: int | None = None,
-                   log_fn=print) -> dict:
+                   log_fn=print, bitstream_path: str | None = None) -> dict:
     x = jnp.asarray(img)[None]
     x_pad, box = pad_to_multiple(x, 16)
     h, w = img.shape[:2]
@@ -61,6 +62,9 @@ def evaluate_array(cfg: Config, model, params, img: np.ndarray,
     # (eval_selfcontained_entropy.py:148-149)
     bpp_real = sum(res.per_image_bits) / (h * w)
     log_fn(f"[entropy coding] compressed (real) bpp = {bpp_real:.4f}")
+    if bitstream_path:
+        from dsic_tpu.codec.bitstream import save_bitstream
+        log_fn(f"wrote bitstream to {save_bitstream(bitstream_path, res.data)}")
 
     x_hat_pad = codec.decompress(res.data)
     x_hat = crop_to(jnp.asarray(x_hat_pad), box)
