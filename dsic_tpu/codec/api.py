@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from dsic_tpu.config import CodecConfig
 from dsic_tpu.codec.bitstream import Bitstream, pack_bitstream, unpack_bitstream
 from dsic_tpu.codec.cdf import (
-    gaussian_cdf_rows_batch, student_t_cdf_rows_batch, pad_support)
+    gaussian_cdf_rows_batch, student_t_cdf_rows_batch, pad_support,
+    student_t_bin_probs, quantize_pmf_to_cdf)
 from dsic_tpu.codec.rans import rans_encode, rans_decode
 
 
@@ -82,6 +83,15 @@ class Codec:
                                      method=model.synthesize))
         self._synthesize_u8 = jax.jit(
             lambda p, y: model.apply(p, y, method=model.synthesize_u8))
+        # Fused global-mode path: hyper-decode + Student-t bin probabilities
+        # in ONE device call (one host sync instead of two). Encoder and
+        # decoder both use it, preserving the bitwise-table invariant.
+        self._y_pmf_from_z = jax.jit(
+            lambda p, z, lo, L_pad: student_t_bin_probs(
+                *model.apply(p, z.astype(jnp.float32),
+                             method=model.hyper_channel_params),
+                lo, L_pad),
+            static_argnums=(3,))
 
         zl = params["params"]["z_log_sigma"]
         self._sigma_z = np.asarray(jnp.exp(zl), dtype=np.float32)
@@ -166,16 +176,24 @@ class Codec:
             sigma, nu = self._hyper_full(self.params, z_q,
                                          (y_q.shape[1], y_q.shape[2]))
         else:
-            sigma, nu = self._hyper_channel(self.params, z_q)
+            sigma = nu = None  # global mode fuses hyper into the pmf call
         return (h, w), y_q, z_q, sigma, nu
+
+    def _y_tables_fused(self, z_dev, y_lo: np.ndarray, L: int) -> np.ndarray:
+        """Global mode: hyper-decode + Student-t pmf in one device call, then
+        integer quantization on host -> (B, M, L+1) uint32 rows."""
+        L_pad = pad_support(L, self.cfg.support_bucket)
+        pmf = np.asarray(self._y_pmf_from_z(
+            self.params, z_dev, jnp.asarray(y_lo, jnp.int32), L_pad))
+        b, r, _ = pmf.shape
+        return quantize_pmf_to_cdf(
+            pmf[:, :, :L].reshape(b * r, L)).reshape(b, r, L + 1)
 
     def _host_encode(self, handles) -> CompressResult:
         (h, w), y_q, z_q, sigma, nu = handles
         b = y_q.shape[0]
         yh, yw, yc = y_q.shape[1:]
         zh, zw, zc = z_q.shape[1:]
-        sigma_np = np.asarray(sigma)
-        nu_np = np.asarray(nu)
         y_np = np.asarray(y_q).astype(np.int64)  # int16 on the wire
         z_np = np.asarray(z_q).astype(np.int64)
 
@@ -187,7 +205,11 @@ class Codec:
         z_lo, L_z = self._bounds(z_np, tail, bucket)
         y_lo, L_y = self._bounds(y_np, tail, bucket)
         z_cdfs = self._z_tables(z_lo, L_z)  # (B, N, L_z+1)
-        y_cdfs = self._y_tables(sigma_np, nu_np, y_lo, L_y)
+        if spatial:
+            y_cdfs = self._y_tables(np.asarray(sigma), np.asarray(nu),
+                                    y_lo, L_y)
+        else:
+            y_cdfs = self._y_tables_fused(z_q, y_lo, L_y)
 
         z_row_idx = _channel_row_idx(zh, zw, zc)
         y_row_idx = (np.arange(yh * yw * yc, dtype=np.int32) if spatial
@@ -241,10 +263,14 @@ class Codec:
         with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
             z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
 
-        # Batched hyper-decode over all images — the exact call the encoder
-        # made, so (sigma, nu) and thus the y CDF tables match bitwise.
-        sigma_np, nu_np = self._hyper_params(jnp.asarray(z_hat), (yh, yw))
-        y_cdfs = self._y_tables(sigma_np, nu_np, y_lo, L_y)
+        # Batched hyper-decode over all images — the exact calls the encoder
+        # made (fused hyper+pmf in global mode), so (sigma, nu) and thus the
+        # y CDF tables match bitwise.
+        if bs.spatial_params:
+            sigma_np, nu_np = self._hyper_params(jnp.asarray(z_hat), (yh, yw))
+            y_cdfs = self._y_tables(sigma_np, nu_np, y_lo, L_y)
+        else:
+            y_cdfs = self._y_tables_fused(jnp.asarray(z_hat), y_lo, L_y)
         y_row_idx = (np.arange(yh * yw * yc, dtype=np.int32)
                      if bs.spatial_params else _channel_row_idx(yh, yw, yc))
 

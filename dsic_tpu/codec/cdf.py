@@ -77,10 +77,11 @@ def _gaussian_pmf(sigma: jax.Array, lo: jax.Array, L_pad: int) -> jax.Array:
                     PMF_FLOOR, 1.0)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _student_t_pmf(sigma: jax.Array, nu: jax.Array, lo: jax.Array,
-                   L_pad: int) -> jax.Array:
-    """(G, R) sigma & nu + (G,) lo -> (G, R, L_pad) Student-t bin probs."""
+def student_t_bin_probs(sigma: jax.Array, nu: jax.Array, lo: jax.Array,
+                        L_pad: int) -> jax.Array:
+    """Traceable core: (G, R) sigma & nu + (G,) lo -> (G, R, L_pad) Student-t
+    bin probabilities (composable into fused jitted pipelines — e.g. the
+    codec fuses hyper-decode -> pmf into one device call)."""
     support = (lo[:, None].astype(jnp.float32)
                + jnp.arange(L_pad, dtype=jnp.float32)[None, :])
     upper = support[:, None, :] + 0.5
@@ -88,6 +89,9 @@ def _student_t_pmf(sigma: jax.Array, nu: jax.Array, lo: jax.Array,
     fu = student_t_cdf(upper, sigma[:, :, None], nu[:, :, None])
     fl = student_t_cdf(lower, sigma[:, :, None], nu[:, :, None])
     return jnp.clip(fu - fl, PMF_FLOOR, 1.0)
+
+
+_student_t_pmf = jax.jit(student_t_bin_probs, static_argnums=(3,))
 
 
 def gaussian_cdf_rows_batch(sigma: np.ndarray, lo: np.ndarray, L: int,
