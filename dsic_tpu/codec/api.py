@@ -109,11 +109,22 @@ class Codec:
     def _y_tables(self, sigma_np: np.ndarray, nu_np: np.ndarray,
                   y_lo: np.ndarray, L: int) -> np.ndarray:
         """(B, R) hyper params -> (B, R, L+1) Student-t rows; R = channels in
-        global mode, all elements in spatial mode."""
+        global mode, all ELEMENTS in spatial mode (can be ~50k rows per image
+        — built in image chunks bounded to ~256MB of pmf)."""
         b = sigma_np.shape[0]
-        return student_t_cdf_rows_batch(sigma_np.reshape(b, -1),
-                                        nu_np.reshape(b, -1), y_lo, L,
-                                        self.cfg.support_bucket)
+        sig = sigma_np.reshape(b, -1)
+        nu = nu_np.reshape(b, -1)
+        rows = sig.shape[1]
+        l_pad = pad_support(L, self.cfg.support_bucket)
+        chunk = max(1, int(256e6 / max(1, rows * l_pad * 4)))
+        if chunk >= b:
+            return student_t_cdf_rows_batch(sig, nu, y_lo, L,
+                                            self.cfg.support_bucket)
+        parts = [student_t_cdf_rows_batch(sig[i:i + chunk], nu[i:i + chunk],
+                                          y_lo[i:i + chunk], L,
+                                          self.cfg.support_bucket)
+                 for i in range(0, b, chunk)]
+        return np.concatenate(parts, axis=0)
 
     def _hyper_params(self, z_dev, latent_hw):
         """(sigma, nu) host arrays for the CDF tables: (B, M) in global mode,
