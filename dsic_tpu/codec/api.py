@@ -262,6 +262,12 @@ class Codec:
         L_z = bs.bounds[0][1] - bs.bounds[0][0] + 1
         y_lo = np.asarray([bd[2] for bd in bs.bounds], np.int32)
         L_y = bs.bounds[0][3] - bs.bounds[0][2] + 1
+        for zmin, zmax, ymin, ymax in bs.bounds:  # shared-L format invariant
+            if zmax - zmin + 1 != L_z or ymax - ymin + 1 != L_y:
+                raise ValueError("corrupt bitstream: inconsistent symbol "
+                                 "ranges across images")
+        if max(L_z, L_y) > Codec.MAX_SUPPORT or min(L_z, L_y) < 1:
+            raise ValueError("corrupt bitstream: implausible symbol range")
 
         z_cdfs = self._z_tables(z_lo, L_z)
         z_row_idx = _channel_row_idx(zh, zw, zc)

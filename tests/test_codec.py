@@ -193,6 +193,31 @@ def test_compress_stream_matches_sequential():
         np.testing.assert_array_equal(a, b)
 
 
+def test_codec_fuzz_shapes_and_configs():
+    """Round-trip losslessness across random image sizes, batch sizes, model
+    widths, and interleave factors."""
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        n_ch, m_ch = int(rng.choice([8, 16])), int(rng.choice([12, 24]))
+        hw = int(rng.choice([32, 48, 80]))
+        b = int(rng.integers(1, 4))
+        n_states = int(rng.choice([1, 2, 4]))
+        model = CompressionModel(N=n_ch, M=m_ch)
+        x = synthetic_patches(b, (hw, hw), seed=trial)
+        params = model.init({"params": jax.random.PRNGKey(trial),
+                             "noise": jax.random.PRNGKey(trial + 99)},
+                            jnp.asarray(x[:1]))
+        from dsic_tpu.config import CodecConfig
+        codec = Codec(model, params, CodecConfig(interleave=n_states))
+        res = codec.compress(x)
+        y_q, z_q = codec.latents(x)
+        y_hat, z_hat = codec.decoded_latents(res.data)
+        np.testing.assert_array_equal(y_hat, y_q,
+                                      err_msg=f"trial {trial} y mismatch")
+        np.testing.assert_array_equal(z_hat, z_q,
+                                      err_msg=f"trial {trial} z mismatch")
+
+
 def test_real_bpp_close_to_estimated():
     """The eval_selfcontained_entropy.py:141-150 invariant: arithmetic-coded
     bpp tracks the nll-sum estimate."""
