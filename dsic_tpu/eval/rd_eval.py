@@ -39,6 +39,19 @@ def _eval_batch_fn(model):
     return run
 
 
+def _metrics_fn(use_msssim: bool):
+    """One jitted call for all per-image metrics (a single host sync per
+    batch instead of one per metric)."""
+    @jax.jit
+    def run(x_hat, x):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) * (1.0 / 255.0)
+        quality = ms_ssim(x_hat, x) if use_msssim else ssim(x_hat, x)
+        mse = jnp.mean(jnp.square(x_hat - x), axis=(1, 2, 3))
+        return quality, psnr_op(x_hat, x), mse
+    return run
+
+
 def evaluate_model_on_images(model, params, images: list[np.ndarray],
                              names: list[str] | None = None,
                              batch_size: int = 8) -> list[dict]:
@@ -54,22 +67,18 @@ def evaluate_model_on_images(model, params, images: list[np.ndarray],
 
     results: list[dict | None] = [None] * len(images)
     for shape, idxs in groups.items():
+        h, w = shape[:2]
+        # ssim fallback for small images (modelseval.py:79-88)
+        metrics = _metrics_fn(use_msssim=min(h, w) > 40)
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start:start + batch_size]
             x = np.stack([images[i] for i in chunk])
             x_pad, box = pad_to_multiple(jnp.asarray(x), 16)
             x_hat_pad, bits = run(params, x_pad)
             x_hat = crop_to(x_hat_pad, box)
-            if x.dtype == np.uint8:
-                x = x.astype(np.float32) / 255.0
-            xb = jnp.asarray(x)
-            h, w = shape[:2]
-            if min(h, w) > 40:
-                mss = np.asarray(ms_ssim(x_hat, xb))
-            else:  # ssim fallback for small images (modelseval.py:79-88)
-                mss = np.asarray(ssim(x_hat, xb))
-            ps = np.asarray(psnr_op(x_hat, xb))
-            mse = np.asarray(jnp.mean(jnp.square(x_hat - xb), axis=(1, 2, 3)))
+            mss_d, ps_d, mse_d = metrics(x_hat, jnp.asarray(x))
+            mss, ps, mse = (np.asarray(mss_d), np.asarray(ps_d),
+                            np.asarray(mse_d))
             bpp = np.asarray(bits) / (h * w)
             for j, i in enumerate(chunk):
                 results[i] = {"image": names[i], "bpp": float(bpp[j]),
