@@ -8,6 +8,11 @@ encode (g_a/h_a on TPU, TPU-computed CDF tables, C++ rANS) + real decode
 vs_baseline: measured throughput vs the reference-equivalent target of
 10x the same pipeline on host CPU (BASELINE.json: ">= 10x CPU encode+decode
 per v5e chip"); vs_baseline = tpu_pps / (10 * cpu_pps), so 1.0 == target hit.
+
+Robustness: both legs report the MEDIAN over repeated timed passes (each
+pass itself averages `iters` round trips), so one tunnel hiccup or host
+scheduler blip cannot skew the ratio (round-1 spread was 1.56-1.78 with a
+single-iteration CPU denominator).
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ import numpy as np
 
 BATCH = 32
 HW = (256, 256)
+REPEATS = 3  # median-of-k timed passes per leg
 
 
 def _build(model_cls, params_rng):
@@ -37,16 +43,28 @@ def _build(model_cls, params_rng):
     return model, params, x_u8
 
 
-def _measure(codec, x, iters: int, warmup: int) -> float:
+def _measure(codec, x, iters: int, warmup: int, repeats: int = REPEATS):
+    """Median patches/s over `repeats` timed passes, plus the encode/decode
+    wall-time split of the median-throughput pass."""
     for _ in range(warmup):
         res = codec.compress(x)
         codec.decompress(res.data)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        res = codec.compress(x)
-        codec.decompress(res.data)
-    dt = (time.perf_counter() - t0) / iters
-    return x.shape[0] / dt
+    passes = []
+    for _ in range(repeats):
+        t_enc = t_dec = 0.0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            e0 = time.perf_counter()
+            res = codec.compress(x)
+            e1 = time.perf_counter()
+            codec.decompress(res.data)
+            t_enc += e1 - e0
+            t_dec += time.perf_counter() - e1
+        dt = (time.perf_counter() - t0) / iters
+        passes.append((x.shape[0] / dt, t_enc / iters, t_dec / iters))
+    passes.sort(key=lambda p: p[0])
+    med = passes[len(passes) // 2]
+    return med[0], med[1], med[2]
 
 
 def main():
@@ -56,7 +74,7 @@ def main():
 
     model, params, x = _build(CompressionModel, 0)
     codec = Codec(model, params)
-    tpu_pps = _measure(codec, x, iters=5, warmup=2)
+    tpu_pps, enc_s, dec_s = _measure(codec, x, iters=3, warmup=2)
 
     # CPU reference: same pipeline, params/arrays placed on host CPU.
     cpu_pps = None
@@ -66,13 +84,8 @@ def main():
             params_cpu = jax.device_put(params, cpu)
             codec_cpu = Codec(model, params_cpu)
             x_small = x[:4]
-            for _ in range(1):
-                r = codec_cpu.compress(x_small)
-                codec_cpu.decompress(r.data)
-            t0 = time.perf_counter()
-            r = codec_cpu.compress(x_small)
-            codec_cpu.decompress(r.data)
-            cpu_pps = x_small.shape[0] / (time.perf_counter() - t0)
+            cpu_raw, _, _ = _measure(codec_cpu, x_small, iters=3, warmup=1)
+            cpu_pps = cpu_raw
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] WARN: cpu baseline failed: {exc}", file=sys.stderr)
 
@@ -82,6 +95,9 @@ def main():
         "value": round(tpu_pps, 2),
         "unit": "patches/s",
         "vs_baseline": round(vs_baseline, 3),
+        "encode_ms_per_batch": round(enc_s * 1e3, 1),
+        "decode_ms_per_batch": round(dec_s * 1e3, 1),
+        "cpu_patches_per_s": round(cpu_pps, 2) if cpu_pps else None,
     }))
 
 

@@ -140,6 +140,18 @@ class Loader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """q.put that re-checks `stop` so an abandoned iterator (e.g.
+            trainer max_steps mid-epoch) never leaves the producer blocked
+            forever on a full queue, leaking the thread + its pool."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for idxs in batches:
@@ -148,12 +160,13 @@ class Loader:
                     imgs = list(pool.map(self.ds.__getitem__, idxs))
                     shapes = {im.shape for im in imgs}
                     if len(shapes) != 1:
-                        q.put(ValueError(
+                        put_or_stop(ValueError(
                             f"non-uniform image shapes in batch: {shapes}; "
                             "use shape_policy='crop' for mixed-size datasets"))
                         break
-                    q.put(np.stack(imgs, axis=0))
-            q.put(None)
+                    if not put_or_stop(np.stack(imgs, axis=0)):
+                        break
+            put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -18,10 +18,12 @@ import scipy.stats
 
 
 def collect_latents(model, params, images: np.ndarray) -> np.ndarray:
-    """(B,H,W,3) -> continuous y latents (B, h, w, M)."""
-    y_q_fn = jax.jit(lambda p, x: model.apply(p, x, method=model.encode_latents))
-    y_q, _ = y_q_fn(params, jnp.asarray(images))
-    return np.asarray(y_q)
+    """(B,H,W,3) -> continuous (pre-round) y latents (B, h, w, M), so the
+    Student-t MLE fit and the t-vs-Gaussian likelihood comparison run on the
+    continuous density the prior actually models."""
+    y_fn = jax.jit(lambda p, x: model.apply(p, x, method=model.raw_latents))
+    y = y_fn(params, jnp.asarray(images))
+    return np.asarray(y)
 
 
 def fit_student_t(values: np.ndarray) -> dict:
@@ -92,6 +94,50 @@ def analyze_latents(model, params, images: np.ndarray, out_dir: str,
         ax.imshow(y[0, :, :, c], cmap="viridis")
         ax.set_title(f"ch {c}"); ax.axis("off")
     fig.savefig(os.path.join(out_dir, "studentt_best_featuremaps.png"),
+                dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+    # raw per-channel histogram grid (reference artifact latent_histograms.png)
+    n_grid = min(16, m)
+    ncols = 4
+    nrows = -(-n_grid // ncols)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3.0 * ncols, 2.2 * nrows))
+    for k, ax in enumerate(np.ravel(axes)):
+        if k >= n_grid:
+            ax.axis("off")
+            continue
+        ax.hist(y[..., k].ravel(), bins=80, density=True, alpha=0.6)
+        ax.set_title(f"ch {k}", fontsize=8)
+        ax.tick_params(labelsize=6)
+    fig.suptitle("latent histograms (first channels)")
+    fig.savefig(os.path.join(out_dir, "latent_histograms.png"), dpi=120,
+                bbox_inches="tight")
+    plt.close(fig)
+
+    # channels where the Student-t fit beats the Gaussian by the most
+    # (reference artifact studentt_best_histograms.png): rank by per-channel
+    # log-likelihood gain and overlay both fits.
+    gains = []
+    for c in range(m):
+        fit = fit_student_t(y[..., c].ravel())
+        gains.append((fit["loglik_t"] - fit["loglik_gauss"], c, fit))
+    gains.sort(reverse=True)
+    top = gains[:min(6, m)]
+    fig, axes = plt.subplots(2, 3, figsize=(11, 6))
+    for ax, (gain, c, fit) in zip(np.ravel(axes), top):
+        vals = y[..., c].ravel()
+        ax.hist(vals, bins=100, density=True, alpha=0.4, label="latents")
+        xc = np.linspace(vals.min(), vals.max(), 200)
+        ax.plot(xc, scipy.stats.t.pdf(xc, df=fit["nu"], scale=fit["sigma"]),
+                label="t fit")
+        ax.plot(xc, scipy.stats.norm.pdf(
+            xc, scale=max(fit["gauss_sigma"], 1e-9)), "--", label="gauss")
+        ax.set_yscale("log")
+        ax.set_title(f"ch {c} (t gain {gain:.0f} nats)", fontsize=8)
+        ax.tick_params(labelsize=6)
+    np.ravel(axes)[0].legend(fontsize=7)
+    fig.suptitle("channels where Student-t most beats Gaussian")
+    fig.savefig(os.path.join(out_dir, "studentt_best_histograms.png"),
                 dpi=120, bbox_inches="tight")
     plt.close(fig)
 

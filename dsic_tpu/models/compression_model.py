@@ -95,8 +95,12 @@ class CompressionModel(nn.Module):
         sigma, nu = self.latent_params(z_tilde, latent_hw=(y.shape[1], y.shape[2]))
 
         # Likelihoods in bits/element, computed in float32 for stability.
-        nll_y = student_t_neg_log2_prob(y_tilde.astype(jnp.float32), sigma, nu,
-                                        nu_min=self.min_nu, nu_max=self.max_nu)
+        # The nll-side nu clamp stays FIXED at [2, 100] regardless of
+        # MODEL.min_nu/max_nu — the reference clamps inside
+        # StudentT.neg_log2_prob (distributions.py:24) independently of the
+        # model's min_nu (constructor default 1.1), so a config with
+        # min_nu < 2 must not change loss semantics.
+        nll_y = student_t_neg_log2_prob(y_tilde.astype(jnp.float32), sigma, nu)
         nll_z = gaussian_neg_log2_prob(z_tilde.astype(jnp.float32),
                                        self.z_log_sigma)
 
@@ -124,6 +128,12 @@ class CompressionModel(nn.Module):
         z_q = jnp.round(z)
         sigma, nu = self.latent_params(z_q, latent_hw=(y.shape[1], y.shape[2]))
         return y_q, z_q, sigma, nu
+
+    def raw_latents(self, x: jax.Array) -> jax.Array:
+        """Pre-quantization continuous y = g_a(x) — for latent-distribution
+        analysis (the Student-t MLE fit must see the continuous density the
+        prior models, not integer-rounded symbols)."""
+        return self.g_a(x)
 
     def encode_latents(self, x: jax.Array):
         """x -> (y_q, z_q) rounded latents only. The codec derives (sigma, nu)

@@ -9,7 +9,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 
-from dsic_tpu.config import load_config, LAMBDA_GRID
+from dsic_tpu.config import load_config, ckpt_name, LAMBDA_GRID
 from dsic_tpu.data.datasets import make_loaders
 from dsic_tpu.train.trainer import Trainer
 
@@ -52,7 +52,7 @@ def main(argv=None):
         if args.resume:
             trainer.restore(args.resume)
         print(f"=== training lambda={lam} -> "
-              f"{trainer.ckpt_dir}/alpha{int(lam)}lambda ===")
+              f"{trainer.ckpt_dir}/{ckpt_name(lam)} ===")
         path = trainer.fit(train_loader, val_loader, max_steps=args.max_steps)
         print(f"saved {path}")
 
