@@ -57,6 +57,13 @@ class CompressionModel(nn.Module):
         self.z_log_sigma = self.param("z_log_sigma",
                                       nn.initializers.zeros, (self.N,))
 
+    def noise_rngs(self):
+        """The (key_y, key_z) pair __call__ uses for noise quantization —
+        exposed as an apply-method so the shard_map spatial train step
+        (parallel/spatial.py) can generate bitwise-identical noise outside
+        the model."""
+        return jax.random.split(self.make_rng("noise"))
+
     def latent_params(self, z_tilde: jax.Array, latent_hw=None):
         """h_s(z_tilde) -> (sigma, nu) broadcast to latent spatial size.
         ``latent_hw`` overrides the spatial size of the returned maps (used by
@@ -82,7 +89,7 @@ class CompressionModel(nn.Module):
         z = self.h_a(y)
 
         if quant_mode == "noise":
-            key_y, key_z = jax.random.split(self.make_rng("noise"))
+            key_y, key_z = self.noise_rngs()
             y_tilde = quantize(y, "noise", key_y)
             z_tilde = quantize(z, "noise", key_z)
         else:

@@ -59,9 +59,18 @@ def make_eval_step(model, lambda_rd: float, dist: str = "msssim"):
 def make_sharded_train_step(model, tx, lambda_rd: float, mesh,
                             dist: str = "msssim", spatial: bool = False,
                             donate: bool = True):
-    """Mesh-parallel train step: batch sharded over 'data' (and optionally H
-    over 'spatial' — GSPMD inserts conv halo exchanges), params/opt state
-    replicated, gradient all-reduce inserted by XLA."""
+    """Mesh-parallel train step. spatial=False: batch sharded over 'data',
+    params/opt state replicated, gradient all-reduce inserted by XLA (GSPMD —
+    proven numerically exact, tests/test_sharding.py). spatial=True: H is
+    additionally sharded over 'spatial' via the shard_map + explicit-halo
+    implementation in parallel/spatial.py — GSPMD must NOT be used there: the
+    XLA SPMD partitioner emits conv gradients exactly n_data x too large for
+    this model's H-sharded backward (see parallel/spatial.py docstring and
+    tests/test_spatial_shardmap.py for the pure-flax repro)."""
+    if spatial:
+        from dsic_tpu.parallel.spatial import make_spatial_train_step
+        return make_spatial_train_step(model, tx, lambda_rd, mesh,
+                                       dist=dist, donate=donate)
 
     def step(state: TrainState, x: jax.Array, key: jax.Array):
         if x.dtype == jnp.uint8:  # wire format: normalize on device
