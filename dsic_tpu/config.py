@@ -46,8 +46,11 @@ class OptimConfig:
 
 @dataclass
 class ModelConfig:
-    """Mirrors reference MODEL (config.py:19-28)."""
+    """Mirrors reference MODEL (config.py:19-28). ``family`` selects the
+    architecture: "dsic" (the reference's Student-t hyperprior) or a live
+    baseline from models/zoo.py ("bmshj2018", "mbt2018_mean")."""
 
+    family: str = "dsic"
     N: int = 128
     M: int = 192
     spatial_params: bool = False

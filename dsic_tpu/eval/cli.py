@@ -69,7 +69,8 @@ def cmd_entropy(args):
 
 
 def cmd_bd(args):
-    from dsic_tpu.eval.rd_eval import evaluate_model_lambdas
+    from dsic_tpu.eval.rd_eval import (
+        evaluate_model_lambdas, evaluate_zoo_qualities, plot_rd_curves)
     from dsic_tpu.eval.bd import bd_metrics
     from dsic_tpu.eval.baselines import BASELINE_CURVES
     from dsic_tpu.utils.csv_logger import CsvLogger
@@ -85,9 +86,31 @@ def cmd_bd(args):
             csv.log(**m)
         print(name, {k: round(v, 4) for k, v in m.items()})
 
+    # LIVE same-dataset baselines (in-framework zoo checkpoints): the real
+    # model-vs-baseline comparison the reference runs through compressai
+    # (writeupbdcurvesballeALL.py). Produces bd_metrics_summary_{family}_live
+    # + the balle-style overlay plots.
+    for family in (args.live.split(",") if args.live else []):
+        base = evaluate_zoo_qualities(cfg, args.ckpt_root, args.images,
+                                      args.out, family=family,
+                                      max_images=args.max_images)
+        if not len(base.get("quality", [])):
+            print(f"[bd] WARN: no {family} checkpoints found; skipping")
+            continue
+        m = bd_metrics(curve, base)
+        with CsvLogger(os.path.join(
+                args.out, f"bd_metrics_summary_{family}_live.csv"),
+                list(m.keys())) as csv:
+            csv.log(**m)
+        print(f"{family} (live)", {k: round(v, 4) for k, v in m.items()})
+        plot_rd_curves(curve, args.out, label="model",
+                       baselines={family: base})
+
 
 def cmd_compare(args):
-    from dsic_tpu.eval.compare import process_single_image, BPP_EQUIV_FIELDS
+    from dsic_tpu.eval.compare import (
+        process_single_image, process_vs_zoo, BPP_EQUIV_FIELDS,
+        zoo_equiv_fields)
     from dsic_tpu.eval.entropy_eval import load_params
     from dsic_tpu.utils.csv_logger import CsvLogger
     from dsic_tpu.utils.image_io import load_image
@@ -95,6 +118,26 @@ def cmd_compare(args):
     img = load_image(args.image)
     lambdas = [float(l) for l in args.lambdas.split(",")] if args.lambdas \
         else LAMBDA_GRID
+    if args.vs and args.vs != "jpeg":
+        # bpp-matched comparison vs a LIVE learned baseline
+        # (resultsanalysisballe.py / resultsanalysisminnen.py equivalents)
+        with CsvLogger(os.path.join(args.out,
+                                    f"bpp_equiv_summary_{args.vs}.csv"),
+                       zoo_equiv_fields(args.vs)) as csv:
+            for lam in lambdas:
+                path = os.path.join(args.ckpt_root, ckpt_name(lam))
+                try:
+                    model, params = load_params(cfg, path)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"WARN: skip lambda={lam}: {exc}")
+                    continue
+                row = process_vs_zoo(cfg, model, params, img, lam, args.vs,
+                                     args.ckpt_root, args.out, csv)
+                if row:
+                    print(f"lambda={lam}: model bpp={row['model_bpp']:.4f} "
+                          f"| {args.vs} q={row[f'{args.vs}_quality']} "
+                          f"bpp={row[f'{args.vs}_bpp']:.4f}")
+        return
     with CsvLogger(os.path.join(args.out, "bpp_equiv_summary.csv"),
                    BPP_EQUIV_FIELDS) as csv:
         for lam in lambdas:
@@ -190,9 +233,17 @@ def main(argv=None):
                     help="also write the .dsic bitstream file")
     sp.set_defaults(fn=cmd_entropy)
     sp = sub.add_parser("bd"); common(sp, ckpt_root=True, images=True)
+    sp.add_argument("--live", default=None,
+                    help="comma-separated zoo families with trained "
+                         "{family}_q{q} checkpoints in ckpt_root for LIVE "
+                         "same-dataset BD comparison (bmshj2018,mbt2018_mean)")
     sp.set_defaults(fn=cmd_bd)
     sp = sub.add_parser("compare"); common(sp, ckpt_root=True, image=True)
-    sp.add_argument("--lambdas", default=None); sp.set_defaults(fn=cmd_compare)
+    sp.add_argument("--lambdas", default=None)
+    sp.add_argument("--vs", default="jpeg",
+                    help="baseline: jpeg (default) or a zoo family with "
+                         "trained checkpoints (bmshj2018, mbt2018_mean)")
+    sp.set_defaults(fn=cmd_compare)
     sp = sub.add_parser("scene"); common(sp, ckpt=True, image=True, out=False)
     sp.add_argument("--out", default=None)
     sp.add_argument("--tile", type=int, default=256)

@@ -138,6 +138,61 @@ def evaluate_model_lambdas(cfg: Config, ckpt_root: str, image_dir: str,
     return {k: np.asarray(v) for k, v in agg.items()}
 
 
+def evaluate_zoo_qualities(cfg: Config, ckpt_root: str, image_dir: str,
+                           out_dir: str, family: str = "bmshj2018",
+                           qualities=range(1, 9), max_images: int = 1000,
+                           batch_size: int = 8) -> dict:
+    """LIVE learned-baseline RD curve: load the in-framework `{family}_q{q}`
+    checkpoints (models/zoo.py, trained with --family/--quality_sweep) and
+    evaluate them on the SAME image set as the model, writing the reference's
+    `agg_bmshj_rd.csv` schema quality,count,bpp,psnr,msssim
+    (batch_bd_results_bmshj/balle_agg_bmshj_rd.csv:1). This replaces the
+    reference's per-image compressai forwards
+    (writeupbdcurvesballeALL.py:385-435) with batched jitted ones; missing
+    checkpoints are skipped with a warning."""
+    import dataclasses
+    from dsic_tpu.models.zoo import ZOO_QUALITY, zoo_ckpt_name
+    from dsic_tpu.utils.image_io import list_images as _list, load_image_u8
+    os.makedirs(out_dir, exist_ok=True)
+    paths = _list(image_dir)[:max_images]
+    images = [load_image_u8(p) for p in paths]
+    names = [os.path.basename(p) for p in paths]
+
+    agg = {"quality": [], "count": [], "bpp": [], "mse": [], "psnr": [],
+           "msssim": []}
+    per_path = os.path.join(out_dir, f"per_image_{family}_results.csv")
+    with CsvLogger(per_path, ["quality", "image", "bpp", "mse", "psnr",
+                              "msssim"]) as per:
+        for q in qualities:
+            preset = ZOO_QUALITY[q]
+            qcfg = cfg.replace(MODEL=dataclasses.replace(
+                cfg.MODEL, family=family, N=preset["N"], M=preset["M"]))
+            model = build_model(qcfg, train_dtype=None)
+            _, _, template = create_train_state(
+                qcfg, jax.random.PRNGKey(0), sample_shape=(1, 64, 64, 3))
+            path = os.path.join(ckpt_root, zoo_ckpt_name(family, q))
+            try:
+                state, _ = restore_checkpoint(path, template)
+                params = state.params
+            except Exception as exc:  # noqa: BLE001
+                print(f"[rd_eval] WARN: cannot load {path}: {exc}; skipping")
+                continue
+            rows = evaluate_model_on_images(model, params, images, names,
+                                            batch_size)
+            for row in rows:
+                per.log(**{"quality": q, **row})
+            agg["quality"].append(q)
+            agg["count"].append(len(rows))
+            for key in ("bpp", "mse", "psnr", "msssim"):
+                agg[key].append(float(np.mean([r[key] for r in rows])))
+
+    with CsvLogger(os.path.join(out_dir, f"agg_{family}_rd.csv"),
+                   ["quality", "count", "bpp", "psnr", "msssim"]) as ag:
+        for i in range(len(agg["quality"])):
+            ag.log(**{k: agg[k][i] for k in agg if k != "mse"})
+    return {k: np.asarray(v) for k, v in agg.items()}
+
+
 def plot_rd_curves(curve: dict, out_dir: str, label: str = "model",
                    baselines: dict | None = None):
     """The 4 reference plots: PSNR/MS-SSIM vs bpp, linear and log x

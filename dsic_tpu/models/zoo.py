@@ -52,3 +52,248 @@ def build(name: str, dtype=None) -> CompressionModel:
                             spatial_params=spec.spatial_params,
                             min_nu=spec.min_nu, max_nu=spec.max_nu,
                             dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Live baseline families (round-2): in-framework bmshj2018 / mbt2018-mean.
+# The reference runs these through compressai per image
+# (writeupbdcurvesballeALL.py:385-435, writeupbdcurvesminnenALL.py:207);
+# implementing them natively makes every BD comparison live and same-dataset
+# (round-1 VERDICT missing #1). Quality presets follow the compressai grid
+# (q1-5: N=128 M=192, q6-8: N=192 M=320; MSE lambdas scaled by 255^2 since
+# distortion here is on [0,1] images).
+# ---------------------------------------------------------------------------
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dsic_tpu.models.layers import GDN, conv, conv_t
+from dsic_tpu.ops.entropy_bottleneck import (
+    FactorizedDensity, gaussian_bin_neg_log2_prob)
+from dsic_tpu.ops.quantize import quantize
+
+# compressai's quality grid for the MSE-optimized zoo models (the metric the
+# reference loads: writeupbdcurvesballeALL.py:390 `metric="mse"`). Framework
+# lambda = cai_lambda * 255^2 (distortion here is MSE on [0,1] images, bpp is
+# identical).
+ZOO_QUALITY = {
+    1: dict(N=128, M=192, lam=0.0018 * 255.0 ** 2),
+    2: dict(N=128, M=192, lam=0.0035 * 255.0 ** 2),
+    3: dict(N=128, M=192, lam=0.0067 * 255.0 ** 2),
+    4: dict(N=128, M=192, lam=0.0130 * 255.0 ** 2),
+    5: dict(N=128, M=192, lam=0.0250 * 255.0 ** 2),
+    6: dict(N=192, M=320, lam=0.0483 * 255.0 ** 2),
+    7: dict(N=192, M=320, lam=0.0932 * 255.0 ** 2),
+    8: dict(N=192, M=320, lam=0.1800 * 255.0 ** 2),
+}
+
+
+class ZooAnalysis(nn.Module):
+    """bmshj2018/mbt2018 g_a: 3x (conv k5 s2 + GDN) + conv k5 s2 to M."""
+    N: int
+    M: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(3):
+            x = conv(self.N, 5, 2, dtype=self.dtype, name=f"conv_{i}")(x)
+            x = GDN(name=f"gdn_{i}")(x)
+        return conv(self.M, 5, 2, dtype=self.dtype, name="conv_3")(x)
+
+
+class ZooSynthesis(nn.Module):
+    """bmshj2018/mbt2018 g_s: 3x (convT k5 s2 + IGDN) + convT to RGB."""
+    N: int
+    out_channels: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, y):
+        for i in range(3):
+            y = conv_t(self.N, dtype=self.dtype, name=f"deconv_{i}")(y)
+            y = GDN(name=f"igdn_{i}", inverse=True)(y)
+        return conv_t(self.out_channels, dtype=self.dtype, name="deconv_3")(y)
+
+
+class ZooHyperAnalysis(nn.Module):
+    """h_a: conv k3 s1 -> conv k5 s2 -> conv k5 s2 (z = y spatial / 4).
+    bmshj2018 uses ReLU, mbt2018-mean LeakyReLU."""
+    N: int
+    act: str = "relu"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, t):
+        f = nn.relu if self.act == "relu" else nn.leaky_relu
+        t = f(conv(self.N, 3, 1, dtype=self.dtype, name="conv_0")(t))
+        t = f(conv(self.N, 5, 2, dtype=self.dtype, name="conv_1")(t))
+        return conv(self.N, 5, 2, dtype=self.dtype, name="conv_2")(t)
+
+
+class ZooHyperScales(nn.Module):
+    """bmshj2018 h_s: two ReLU deconvs then a ReLU conv to M scale values."""
+    N: int
+    M: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, z_hat):
+        t = nn.relu(conv_t(self.N, dtype=self.dtype, name="deconv_0")(z_hat))
+        t = nn.relu(conv_t(self.N, dtype=self.dtype, name="deconv_1")(t))
+        return nn.relu(conv(self.M, 3, 1, dtype=self.dtype, name="conv_2")(t))
+
+
+class ZooHyperMeanScale(nn.Module):
+    """mbt2018-mean h_s: LeakyReLU deconvs widening to 3M/2 then a conv to
+    2M channels, split into (scale, mean)."""
+    M: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, z_hat):
+        t = nn.leaky_relu(conv_t(self.M, dtype=self.dtype,
+                                 name="deconv_0")(z_hat))
+        t = nn.leaky_relu(conv_t(self.M * 3 // 2, dtype=self.dtype,
+                                 name="deconv_1")(t))
+        t = conv(self.M * 2, 3, 1, dtype=self.dtype, name="conv_2")(t)
+        sigma, mu = jnp.split(t, 2, axis=-1)
+        return sigma, mu
+
+
+class ScaleHyperprior(nn.Module):
+    """bmshj2018_hyperprior, live (compressai-equivalent architecture)."""
+
+    N: int = 128
+    M: int = 192
+    out_channels: int = 3
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.g_a = ZooAnalysis(self.N, self.M, dtype=self.dtype)
+        self.g_s = ZooSynthesis(self.N, self.out_channels, dtype=self.dtype)
+        self.h_a = ZooHyperAnalysis(self.N, act="relu", dtype=self.dtype)
+        self.h_s = ZooHyperScales(self.N, self.M, dtype=self.dtype)
+        self.z_prior = FactorizedDensity(self.N)
+
+    def hyper_scales(self, z_hat: jax.Array) -> jax.Array:
+        return self.h_s(z_hat).astype(jnp.float32)
+
+    def z_cdf(self, t: jax.Array) -> jax.Array:
+        """Factorized-prior CDF on a value grid — the codec's table source."""
+        return self.z_prior.cdf(t)
+
+    def encode_latents(self, x: jax.Array):
+        y = self.g_a(x)
+        z = self.h_a(jnp.abs(y))
+        return jnp.round(y), jnp.round(z)
+
+    def synthesize(self, y_hat: jax.Array) -> jax.Array:
+        return self.g_s(y_hat)
+
+    def __call__(self, x: jax.Array, quant_mode: str = "noise",
+                 train: bool = True) -> dict[str, Any]:
+        y = self.g_a(x)
+        z = self.h_a(jnp.abs(y))
+        if quant_mode == "noise":
+            key_y, key_z = jax.random.split(self.make_rng("noise"))
+            y_tilde = quantize(y, "noise", key_y)
+            z_tilde = quantize(z, "noise", key_z)
+        else:
+            y_tilde = quantize(y, quant_mode)
+            z_tilde = quantize(z, quant_mode)
+
+        nll_z = self.z_prior(z_tilde.astype(jnp.float32))
+        sigma = self.hyper_scales(z_tilde)
+        nll_y = gaussian_bin_neg_log2_prob(y_tilde.astype(jnp.float32), sigma)
+        y_hat = y_tilde if train else quantize(y, "round")
+        x_hat = self.g_s(y_hat)
+        return {"x_hat": x_hat, "nll_y": nll_y, "nll_z": nll_z,
+                "y": y, "y_tilde": y_tilde, "z": z, "z_tilde": z_tilde,
+                "sigma": sigma}
+
+
+class MeanScaleHyperprior(nn.Module):
+    """mbt2018-mean (Minnen 2018 mean-scale hyperprior, no context model)."""
+
+    N: int = 128
+    M: int = 192
+    out_channels: int = 3
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.g_a = ZooAnalysis(self.N, self.M, dtype=self.dtype)
+        self.g_s = ZooSynthesis(self.N, self.out_channels, dtype=self.dtype)
+        self.h_a = ZooHyperAnalysis(self.N, act="leaky_relu",
+                                    dtype=self.dtype)
+        self.h_s = ZooHyperMeanScale(self.M, dtype=self.dtype)
+        self.z_prior = FactorizedDensity(self.N)
+
+    def hyper_params(self, z_hat: jax.Array):
+        sigma, mu = self.h_s(z_hat)
+        return sigma.astype(jnp.float32), mu.astype(jnp.float32)
+
+    def z_cdf(self, t: jax.Array) -> jax.Array:
+        return self.z_prior.cdf(t)
+
+    def encode_latents(self, x: jax.Array):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        return jnp.round(y), jnp.round(z)
+
+    def synthesize(self, y_hat: jax.Array) -> jax.Array:
+        return self.g_s(y_hat)
+
+    def __call__(self, x: jax.Array, quant_mode: str = "noise",
+                 train: bool = True) -> dict[str, Any]:
+        y = self.g_a(x)
+        z = self.h_a(y)
+        if quant_mode == "noise":
+            key_y, key_z = jax.random.split(self.make_rng("noise"))
+            y_tilde = quantize(y, "noise", key_y)
+            z_tilde = quantize(z, "noise", key_z)
+        else:
+            y_tilde = quantize(y, quant_mode)
+            z_tilde = quantize(z, quant_mode)
+
+        nll_z = self.z_prior(z_tilde.astype(jnp.float32))
+        sigma, mu = self.hyper_params(z_tilde)
+        nll_y = gaussian_bin_neg_log2_prob(y_tilde.astype(jnp.float32),
+                                           sigma, mean=mu)
+        if train:
+            y_hat = y_tilde
+        else:
+            # round the residual, add the mean back (Minnen 2018 decode rule)
+            y_hat = quantize(y.astype(jnp.float32) - mu, "round") + mu
+        x_hat = self.g_s(y_hat)
+        return {"x_hat": x_hat, "nll_y": nll_y, "nll_z": nll_z,
+                "y": y, "y_tilde": y_tilde, "z": z, "z_tilde": z_tilde,
+                "sigma": sigma, "mu": mu}
+
+
+ZOO_FAMILIES = {
+    "bmshj2018": ScaleHyperprior,
+    "mbt2018_mean": MeanScaleHyperprior,
+}
+
+
+def build_zoo_model(family: str, quality: int,
+                    dtype: jnp.dtype | None = None):
+    """(family, quality) -> (model, framework_lambda)."""
+    if family not in ZOO_FAMILIES:
+        raise ValueError(f"unknown zoo family {family!r}; "
+                         f"have {sorted(ZOO_FAMILIES)}")
+    if quality not in ZOO_QUALITY:
+        raise ValueError(f"quality must be 1-8, got {quality}")
+    q = ZOO_QUALITY[quality]
+    model = ZOO_FAMILIES[family](N=q["N"], M=q["M"], dtype=dtype)
+    return model, q["lam"]
+
+
+def zoo_ckpt_name(family: str, quality: int) -> str:
+    """Checkpoint naming for quality sweeps (the zoo analogue of the
+    reference's alpha{lambda}lambda convention)."""
+    return f"{family}_q{quality}"

@@ -22,6 +22,14 @@ def main(argv=None):
     p.add_argument("--lambda_rd", type=float, default=None)
     p.add_argument("--lambda_sweep", action="store_true",
                    help="train one checkpoint per lambda on the reference grid")
+    p.add_argument("--family", type=str, default="dsic",
+                   help="model family: dsic (default) or a live baseline "
+                        "(bmshj2018, mbt2018_mean)")
+    p.add_argument("--quality", type=int, default=None,
+                   help="zoo quality preset 1-8 (sets N/M and lambda)")
+    p.add_argument("--quality_sweep", type=str, default=None,
+                   help="comma-separated zoo qualities to train, e.g. "
+                        "'1,2,3,4,5,6,7,8' (one checkpoint per quality)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
@@ -41,6 +49,10 @@ def main(argv=None):
         overrides["DATA.batch_size"] = args.batch_size
     cfg = load_config(args.config, overrides)
 
+    if args.family != "dsic" or args.quality or args.quality_sweep:
+        _train_zoo(cfg, args)
+        return
+
     lambdas = LAMBDA_GRID if args.lambda_sweep else [cfg.LOSS.lambda_rd]
     for lam in lambdas:
         run_cfg = cfg.replace(LOSS=dataclasses.replace(cfg.LOSS, lambda_rd=lam))
@@ -53,6 +65,39 @@ def main(argv=None):
             trainer.restore(args.resume)
         print(f"=== training lambda={lam} -> "
               f"{trainer.ckpt_dir}/{ckpt_name(lam)} ===")
+        path = trainer.fit(train_loader, val_loader, max_steps=args.max_steps)
+        print(f"saved {path}")
+
+
+def _train_zoo(cfg, args):
+    """Quality-sweep trainer for the live baseline families (the zoo analogue
+    of the reference's per-lambda SLURM sweep): one checkpoint per compressai
+    quality preset, MSE loss, framework lambda from ZOO_QUALITY."""
+    from dsic_tpu.models.zoo import ZOO_QUALITY, zoo_ckpt_name
+    if args.family == "dsic":
+        raise SystemExit("--quality/--quality_sweep need --family "
+                         "bmshj2018|mbt2018_mean")
+    if args.quality_sweep:
+        qualities = [int(q) for q in args.quality_sweep.split(",")]
+    else:
+        qualities = [args.quality or 1]
+    for q in qualities:
+        preset = ZOO_QUALITY[q]
+        run_cfg = cfg.replace(
+            MODEL=dataclasses.replace(cfg.MODEL, family=args.family,
+                                      N=preset["N"], M=preset["M"]),
+            LOSS=dataclasses.replace(cfg.LOSS, lambda_rd=preset["lam"],
+                                     dist="mse"))
+        train_loader, val_loader = make_loaders(run_cfg)
+        first = next(iter(train_loader))
+        name = zoo_ckpt_name(args.family, q)
+        trainer = Trainer(run_cfg, run_name=args.run_name, use_mesh=args.mesh,
+                          sample_shape=(1, *first.shape[1:]), final_ckpt=name)
+        if args.resume:
+            trainer.restore(args.resume)
+        print(f"=== training {args.family} q={q} (N={preset['N']} "
+              f"M={preset['M']} lambda={preset['lam']:.2f}) -> "
+              f"{trainer.ckpt_dir}/{name} ===")
         path = trainer.fit(train_loader, val_loader, max_steps=args.max_steps)
         print(f"saved {path}")
 

@@ -45,10 +45,17 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return optax.chain(*chain)
 
 
-def build_model(cfg: Config, train_dtype=None) -> CompressionModel:
+def build_model(cfg: Config, train_dtype=None):
     dtype = train_dtype
     if dtype is None and cfg.TRAIN.amp:
         dtype = jnp.bfloat16
+    family = getattr(cfg.MODEL, "family", "dsic")
+    if family != "dsic":
+        from dsic_tpu.models.zoo import ZOO_FAMILIES
+        if family not in ZOO_FAMILIES:
+            raise ValueError(f"unknown MODEL.family {family!r}; have "
+                             f"['dsic'] + {sorted(ZOO_FAMILIES)}")
+        return ZOO_FAMILIES[family](N=cfg.MODEL.N, M=cfg.MODEL.M, dtype=dtype)
     return CompressionModel(
         N=cfg.MODEL.N, M=cfg.MODEL.M,
         spatial_params=cfg.MODEL.spatial_params,

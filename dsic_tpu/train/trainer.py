@@ -45,9 +45,13 @@ def validate(eval_step, params, val_loader, mesh=None):
 
 class Trainer:
     def __init__(self, cfg: Config, run_name: str = "default_run",
-                 use_mesh: bool = False, sample_shape=None):
+                 use_mesh: bool = False, sample_shape=None,
+                 final_ckpt: str | None = None):
         self.cfg = cfg
         self.run_name = run_name
+        # final checkpoint name; defaults to the reference's alpha{λ}lambda,
+        # zoo quality sweeps pass e.g. "bmshj2018_q3"
+        self.final_ckpt = final_ckpt
         self.ckpt_dir = os.path.join(cfg.LOGGING.ckpt_dir, run_name)
         os.makedirs(self.ckpt_dir, exist_ok=True)
 
@@ -150,5 +154,6 @@ class Trainer:
 
     def finalize(self) -> str:
         """Save the final lambda-named checkpoint (train.py:227-235)."""
-        path = self.save(name=ckpt_name(self.cfg.LOSS.lambda_rd))
+        path = self.save(
+            name=self.final_ckpt or ckpt_name(self.cfg.LOSS.lambda_rd))
         return path

@@ -1,0 +1,167 @@
+"""Live baseline zoo (models/zoo.py): factorized entropy model sanity,
+forward/train protocol of both families, and the end-to-end
+train -> checkpoint -> live-RD-curve -> BD pipeline on tiny models."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dsic_tpu.config import Config
+from dsic_tpu.data.synthetic import synthetic_patches
+from dsic_tpu.models import rate_distortion_loss
+from dsic_tpu.models.zoo import (
+    ZOO_QUALITY, ScaleHyperprior, MeanScaleHyperprior, build_zoo_model,
+    zoo_ckpt_name)
+from dsic_tpu.ops.entropy_bottleneck import (
+    FactorizedDensity, gaussian_bin_neg_log2_prob)
+
+
+def _x(b=2, hw=64, seed=0):
+    return jnp.asarray(synthetic_patches(b, (hw, hw), seed=seed))
+
+
+def test_factorized_density_is_valid_distribution():
+    """CDF monotone in x, and unit-bin probabilities over a wide support sum
+    to ~1 per channel (it's a normalized density)."""
+    c = 6
+    mod = FactorizedDensity(c)
+    grid = jnp.linspace(-300.0, 300.0, 601)  # step 1
+    x = jnp.broadcast_to(grid[:, None], (601, c))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    cdf = mod.apply(params, x, method="cdf")
+    assert np.all(np.diff(np.asarray(cdf), axis=0) >= -1e-6), "CDF not monotone"
+    assert np.asarray(cdf)[0].max() < 0.05 and np.asarray(cdf)[-1].min() > 0.95
+
+    ints = jnp.arange(-300, 301, dtype=jnp.float32)
+    xi = jnp.broadcast_to(ints[:, None], (601, c))
+    nll = mod.apply(params, xi)  # -log2 p of unit bins
+    total = np.asarray(jnp.sum(2.0 ** (-nll), axis=0))
+    np.testing.assert_allclose(total, 1.0, atol=0.02)
+
+
+def test_gaussian_bin_probabilities_sum_to_one():
+    sigma = jnp.asarray([0.2, 1.0, 7.0])
+    ints = jnp.arange(-60, 61, dtype=jnp.float32)
+    x = jnp.broadcast_to(ints[:, None], (121, 3))
+    nll = gaussian_bin_neg_log2_prob(x, sigma)
+    total = np.asarray(jnp.sum(2.0 ** (-nll), axis=0))
+    np.testing.assert_allclose(total, 1.0, atol=1e-4)
+    # mean shift: same mass, recentered
+    nll_mu = gaussian_bin_neg_log2_prob(x + 3.0, sigma, mean=3.0)
+    np.testing.assert_allclose(np.asarray(nll_mu), np.asarray(nll), atol=1e-5)
+
+
+@pytest.mark.parametrize("cls", [ScaleHyperprior, MeanScaleHyperprior])
+def test_zoo_forward_contract(cls):
+    x = _x()
+    model = cls(N=16, M=24)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+    out = model.apply(params, x, quant_mode="noise", train=True,
+                      rngs={"noise": jax.random.PRNGKey(2)})
+    assert out["x_hat"].shape == x.shape
+    assert out["y"].shape == (2, 4, 4, 24)
+    assert out["z"].shape == (2, 1, 1, 16)
+    loss, r, d = rate_distortion_loss(out, x, lambda_rd=100.0, dist="mse")
+    assert np.isfinite(float(loss)) and float(r) > 0
+    # eval mode: round quantization, finite rate
+    oe = model.apply(params, x, quant_mode="round", train=False)
+    assert np.isfinite(float(jnp.sum(oe["nll_y"])))
+
+
+def test_zoo_quality_presets():
+    model, lam = build_zoo_model("bmshj2018", 5)
+    assert (model.N, model.M) == (128, 192)
+    model8, lam8 = build_zoo_model("bmshj2018", 8)
+    assert (model8.N, model8.M) == (192, 320)
+    assert lam8 > lam > 0
+    with pytest.raises(ValueError):
+        build_zoo_model("nope", 1)
+    with pytest.raises(ValueError):
+        build_zoo_model("bmshj2018", 9)
+
+
+def test_zoo_train_step_learns():
+    """A few optimizer steps must reduce the RD loss (both rate and
+    distortion gradients flow, incl. through the factorized density)."""
+    import optax
+    x = _x(b=4)
+    model = ScaleHyperprior(N=16, M=24)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, key):
+        def loss_fn(p):
+            out = model.apply(p, x, quant_mode="noise", train=True,
+                              rngs={"noise": key})
+            loss, _, _ = rate_distortion_loss(out, x, lambda_rd=100.0,
+                                              dist="mse")
+            return loss
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, loss
+
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for _ in range(20):
+        key, k = jax.random.split(key)
+        params, opt, loss = step(params, opt, k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_zoo_end_to_end_bd_pipeline(tmp_path, monkeypatch):
+    """Trainer with MODEL.family -> zoo-named checkpoint ->
+    evaluate_zoo_qualities live curve -> bd_metrics: the full live-baseline
+    BD pipeline on tiny shapes."""
+    from dsic_tpu.train.trainer import Trainer
+    from dsic_tpu.eval.rd_eval import evaluate_zoo_qualities
+    from dsic_tpu.eval.bd import bd_metrics
+    from dsic_tpu.utils.image_io import save_image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        save_image(str(img_dir / f"im{i}.png"),
+                   rng.random((64, 64, 3)).astype(np.float32))
+
+    cfg = Config()
+    # shrink the q1 preset so the CPU test stays fast (the eval side rebuilds
+    # the model from ZOO_QUALITY, so the patch must cover both sides)
+    q = 1
+    monkeypatch.setitem(ZOO_QUALITY, 1,
+                        dict(N=16, M=24, lam=ZOO_QUALITY[1]["lam"]))
+    cfg = cfg.replace(
+        MODEL=dataclasses.replace(cfg.MODEL, family="bmshj2018",
+                                  N=ZOO_QUALITY[q]["N"], M=ZOO_QUALITY[q]["M"]),
+        TRAIN=dataclasses.replace(cfg.TRAIN, amp=False, epochs=1),
+        LOSS=dataclasses.replace(cfg.LOSS, lambda_rd=ZOO_QUALITY[q]["lam"],
+                                 dist="mse"),
+        LOGGING=dataclasses.replace(cfg.LOGGING,
+                                    ckpt_dir=str(tmp_path / "ckpts")))
+    trainer = Trainer(cfg, run_name="zootest", sample_shape=(1, 64, 64, 3),
+                      final_ckpt=zoo_ckpt_name("bmshj2018", q))
+    batch = synthetic_patches(2, (64, 64), seed=1)
+    path = trainer.fit([batch], max_steps=1)
+    assert path.endswith(zoo_ckpt_name("bmshj2018", q))
+
+    curve = evaluate_zoo_qualities(
+        cfg, os.path.dirname(path), str(img_dir), str(tmp_path / "out"),
+        family="bmshj2018", qualities=[q], max_images=3)
+    assert list(curve["quality"]) == [q]
+    assert (tmp_path / "out" / "agg_bmshj2018_rd.csv").exists()
+
+    # a 1-point baseline curve cannot be BD-interpolated; check against a
+    # 2-point synthetic model curve that the call signature works end-to-end
+    model_curve = {"bpp": np.array([0.5, 1.0]), "psnr": np.array([30.0, 33.0]),
+                   "msssim": np.array([0.9, 0.95])}
+    m = bd_metrics(model_curve, model_curve)
+    assert np.isfinite(m["bd_rate_psnr_pct"])
