@@ -35,8 +35,8 @@ import jax.numpy as jnp
 from dsic_tpu.config import CodecConfig
 from dsic_tpu.codec.bitstream import Bitstream, pack_bitstream, unpack_bitstream
 from dsic_tpu.codec.cdf import (
-    gaussian_cdf_rows_batch, student_t_cdf_rows_batch, pad_support,
-    student_t_bin_probs, quantize_pmf_to_cdf)
+    gaussian_cdf_rows_batch, pad_support, student_t_bin_probs,
+    quantize_pmf_to_cdf)
 from dsic_tpu.codec.rans import rans_encode, rans_decode
 
 
@@ -69,23 +69,17 @@ class Codec:
 
         self._encode_latents = jax.jit(
             lambda p, x: model.apply(p, x, method=model.encode_latents_i16))
-        # global mode ships per-channel (B, M) params; spatial mode needs the
-        # full maps. Encoder and decoder call the SAME jitted function.
-        self._hyper_channel = jax.jit(
-            lambda p, z: model.apply(p, z.astype(jnp.float32),
-                                     method=model.hyper_channel_params))
-        self._hyper_full = jax.jit(
-            lambda p, z, hw: model.apply(p, z.astype(jnp.float32), hw,
-                                         method=model.hyper_decode),
-            static_argnums=(2,))
         self._synthesize = jax.jit(
             lambda p, y: model.apply(p, y.astype(jnp.float32),
                                      method=model.synthesize))
         self._synthesize_u8 = jax.jit(
             lambda p, y: model.apply(p, y, method=model.synthesize_u8))
-        # Fused global-mode path: hyper-decode + Student-t bin probabilities
-        # in ONE device call (one host sync instead of two). Encoder and
-        # decoder both use it, preserving the bitwise-table invariant.
+        # Fused table paths: hyper-decode + Student-t bin probabilities in
+        # ONE device call per direction (one host sync instead of two-three).
+        # Encoder and decoder both use them, preserving the bitwise-table
+        # invariant. Global mode: one CDF row per channel; spatial mode: one
+        # row per ELEMENT (the hyper maps never leave the device — only the
+        # pmf block does, which had to cross anyway).
         self._y_pmf_from_z = jax.jit(
             lambda p, z, lo, L_pad: student_t_bin_probs(
                 *model.apply(p, z.astype(jnp.float32),
@@ -93,66 +87,73 @@ class Codec:
                 lo, L_pad),
             static_argnums=(3,))
 
+        def _spatial_pmf(p, z, lo, L_pad, hw):
+            sigma, nu = model.apply(p, z.astype(jnp.float32), hw,
+                                    method=model.hyper_decode)
+            b = sigma.shape[0]
+            return student_t_bin_probs(sigma.reshape(b, -1),
+                                       nu.reshape(b, -1), lo, L_pad)
+        self._y_pmf_from_z_spatial = jax.jit(_spatial_pmf,
+                                             static_argnums=(3, 4))
+
         zl = params["params"]["z_log_sigma"]
         self._sigma_z = np.asarray(jnp.exp(zl), dtype=np.float32)
 
     # --- shared table construction (encoder and decoder call these with the
     # --- same arguments, yielding bitwise-identical tables) -----------------
 
-    def _z_tables(self, z_lo: np.ndarray, L: int) -> np.ndarray:
-        """(B,) per-image lo -> (B, N, L+1) Gaussian rows from the z-prior."""
+    @staticmethod
+    def _per_image_quantize(pmf_np: np.ndarray, l_per: np.ndarray) -> list:
+        """(B, R, L_max) float pmf -> per-image (R, L_i+1) uint32 CDF rows,
+        each normalized over only ITS bucketed support (a wide-range outlier
+        image no longer flattens every other image's tables — the reference
+        uses true per-image supports, eval_selfcontained_entropy.py:39-47).
+        Images sharing an L quantize as one vectorized call."""
+        b, r, _ = pmf_np.shape
+        out: list = [None] * b
+        for L in np.unique(l_per):
+            idx = np.where(l_per == L)[0]
+            q = quantize_pmf_to_cdf(
+                pmf_np[idx, :, :L].reshape(len(idx) * r, L)
+            ).reshape(len(idx), r, L + 1)
+            for j, i in enumerate(idx):
+                out[i] = q[j]
+        return out
+
+    def _z_tables(self, z_lo: np.ndarray, l_per: np.ndarray) -> list:
+        """(B,) per-image lo + (B,) bucketed lengths -> per-image (N, L_i+1)
+        Gaussian rows from the z-prior (host erf — the plane is tiny)."""
         b = z_lo.shape[0]
-        sigma = np.broadcast_to(self._sigma_z[None], (b, self._sigma_z.size))
-        return gaussian_cdf_rows_batch(sigma, z_lo, L,
-                                       self.cfg.support_bucket)
-
-    def _y_tables(self, sigma_np: np.ndarray, nu_np: np.ndarray,
-                  y_lo: np.ndarray, L: int) -> np.ndarray:
-        """(B, R) hyper params -> (B, R, L+1) Student-t rows; R = channels in
-        global mode, all ELEMENTS in spatial mode (can be ~50k rows per image
-        — built in image chunks bounded to ~256MB of pmf)."""
-        b = sigma_np.shape[0]
-        sig = sigma_np.reshape(b, -1)
-        nu = nu_np.reshape(b, -1)
-        rows = sig.shape[1]
-        l_pad = pad_support(L, self.cfg.support_bucket)
-        chunk = max(1, int(256e6 / max(1, rows * l_pad * 4)))
-        if chunk >= b:
-            return student_t_cdf_rows_batch(sig, nu, y_lo, L,
-                                            self.cfg.support_bucket)
-        parts = [student_t_cdf_rows_batch(sig[i:i + chunk], nu[i:i + chunk],
-                                          y_lo[i:i + chunk], L,
-                                          self.cfg.support_bucket)
-                 for i in range(0, b, chunk)]
-        return np.concatenate(parts, axis=0)
-
-    def _hyper_params(self, z_dev, latent_hw):
-        """(sigma, nu) host arrays for the CDF tables: (B, M) in global mode,
-        (B, h*w*M)-reshapeable full maps in spatial mode. One shared jitted
-        path for encoder and decoder."""
-        if self.model.spatial_params:
-            sigma, nu = self._hyper_full(self.params, z_dev, latent_hw)
-        else:
-            sigma, nu = self._hyper_channel(self.params, z_dev)
-        return np.asarray(sigma), np.asarray(nu)
+        n = self._sigma_z.size
+        sigma = np.broadcast_to(self._sigma_z[None], (b, n))
+        out: list = [None] * b
+        for L in np.unique(l_per):
+            idx = np.where(l_per == L)[0]
+            rows = gaussian_cdf_rows_batch(sigma[idx], z_lo[idx], int(L),
+                                           self.cfg.support_bucket)
+            for j, i in enumerate(idx):
+                out[i] = rows[j]
+        return out
 
     MAX_SUPPORT = 8192  # sane trained models need ~10-100 symbols
 
     @staticmethod
     def _bounds(vals: np.ndarray, tail: int, bucket: int):
-        """Per-image lo and a shared bucketed support length L covering every
-        image's [min - tail, max + tail] range."""
+        """Per-image lo and per-image bucketed support lengths covering each
+        image's [min - tail, max + tail] range (bucketing keeps the jitted
+        pmf builders to a few static shapes)."""
         b = vals.shape[0]
         flat = vals.reshape(b, -1)
         lo = np.floor(flat.min(axis=1)).astype(np.int64) - tail
         hi = np.ceil(flat.max(axis=1)).astype(np.int64) + tail
-        L = pad_support(int((hi - lo + 1).max()), bucket)
-        if L > Codec.MAX_SUPPORT:
+        l_per = np.asarray([pad_support(int(h - l + 1), bucket)
+                            for l, h in zip(lo, hi)], np.int32)
+        if l_per.max() > Codec.MAX_SUPPORT:
             raise ValueError(
-                f"latent symbol range {L} exceeds MAX_SUPPORT="
+                f"latent symbol range {int(l_per.max())} exceeds MAX_SUPPORT="
                 f"{Codec.MAX_SUPPORT}; the checkpoint looks diverged "
                 "(CDF tables would need gigabytes)")
-        return lo.astype(np.int32), L
+        return lo.astype(np.int32), l_per
 
     # --- encode ------------------------------------------------------------
 
@@ -177,31 +178,43 @@ class Codec:
             yield self._host_encode(pending.popleft())
 
     def _device_encode(self, x: np.ndarray):
-        """Dispatch the device-side encoder work (non-blocking)."""
+        """Dispatch the device-side encoder work (non-blocking). The hyper
+        maps never come to the host — both modes fuse hyper-decode into the
+        pmf call at table-build time."""
         b, h, w, _ = x.shape
         if h % 16 or w % 16:
             raise ValueError("pad input to a multiple of 16 first "
                              "(ops.pad_to_multiple)")
         y_q, z_q = self._encode_latents(self.params, jnp.asarray(x))
-        if self.model.spatial_params:
-            sigma, nu = self._hyper_full(self.params, z_q,
-                                         (y_q.shape[1], y_q.shape[2]))
-        else:
-            sigma = nu = None  # global mode fuses hyper into the pmf call
-        return (h, w), y_q, z_q, sigma, nu
+        return (h, w), y_q, z_q
 
-    def _y_tables_fused(self, z_dev, y_lo: np.ndarray, L: int) -> np.ndarray:
-        """Global mode: hyper-decode + Student-t pmf in one device call, then
-        integer quantization on host -> (B, M, L+1) uint32 rows."""
-        L_pad = pad_support(L, self.cfg.support_bucket)
-        pmf = np.asarray(self._y_pmf_from_z(
-            self.params, z_dev, jnp.asarray(y_lo, jnp.int32), L_pad))
-        b, r, _ = pmf.shape
-        return quantize_pmf_to_cdf(
-            pmf[:, :, :L].reshape(b * r, L)).reshape(b, r, L + 1)
+    def _y_tables_fused(self, z_dev, y_lo: np.ndarray, l_per: np.ndarray,
+                        latent_hw) -> list:
+        """hyper-decode + Student-t pmf in one device call (per ~256MB batch
+        chunk), then per-image integer quantization on host -> per-image
+        (R, L_i+1) uint32 rows. R = channels in global mode, all elements in
+        spatial mode."""
+        b = int(z_dev.shape[0])
+        L_pad = int(l_per.max())  # already bucketed
+        spatial = self.model.spatial_params
+        rows = (latent_hw[0] * latent_hw[1] * self.model.M if spatial
+                else self.model.M)
+        chunk = max(1, int(256e6 / max(1, rows * L_pad * 4)))
+        pmfs = []
+        for i in range(0, b, chunk):
+            lo_dev = jnp.asarray(y_lo[i:i + chunk], jnp.int32)
+            if spatial:
+                pmfs.append(np.asarray(self._y_pmf_from_z_spatial(
+                    self.params, z_dev[i:i + chunk], lo_dev, L_pad,
+                    tuple(latent_hw))))
+            else:
+                pmfs.append(np.asarray(self._y_pmf_from_z(
+                    self.params, z_dev[i:i + chunk], lo_dev, L_pad)))
+        pmf = pmfs[0] if len(pmfs) == 1 else np.concatenate(pmfs, axis=0)
+        return self._per_image_quantize(pmf, l_per)
 
     def _host_encode(self, handles) -> CompressResult:
-        (h, w), y_q, z_q, sigma, nu = handles
+        (h, w), y_q, z_q = handles
         b = y_q.shape[0]
         yh, yw, yc = y_q.shape[1:]
         zh, zw, zc = z_q.shape[1:]
@@ -213,14 +226,10 @@ class Codec:
         bucket = self.cfg.support_bucket
         spatial = self.model.spatial_params
 
-        z_lo, L_z = self._bounds(z_np, tail, bucket)
-        y_lo, L_y = self._bounds(y_np, tail, bucket)
-        z_cdfs = self._z_tables(z_lo, L_z)  # (B, N, L_z+1)
-        if spatial:
-            y_cdfs = self._y_tables(np.asarray(sigma), np.asarray(nu),
-                                    y_lo, L_y)
-        else:
-            y_cdfs = self._y_tables_fused(z_q, y_lo, L_y)
+        z_lo, lz_per = self._bounds(z_np, tail, bucket)
+        y_lo, ly_per = self._bounds(y_np, tail, bucket)
+        z_cdfs = self._z_tables(z_lo, lz_per)
+        y_cdfs = self._y_tables_fused(z_q, y_lo, ly_per, (yh, yw))
 
         z_row_idx = _channel_row_idx(zh, zw, zc)
         y_row_idx = (np.arange(yh * yw * yc, dtype=np.int32) if spatial
@@ -236,8 +245,9 @@ class Codec:
         with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
             payloads = list(pool.map(encode_one, range(b)))
 
-        bounds = [(int(z_lo[i]), int(z_lo[i]) + L_z - 1,
-                   int(y_lo[i]), int(y_lo[i]) + L_y - 1) for i in range(b)]
+        bounds = [(int(z_lo[i]), int(z_lo[i]) + int(lz_per[i]) - 1,
+                   int(y_lo[i]), int(y_lo[i]) + int(ly_per[i]) - 1)
+                  for i in range(b)]
         bs = Bitstream(y_shape=(b, yh, yw, yc), z_shape=(b, zh, zw, zc),
                        bounds=bounds,
                        z_payloads=[p[0] for p in payloads],
@@ -259,17 +269,14 @@ class Codec:
         b, yh, yw, yc = bs.y_shape
         _, zh, zw, zc = bs.z_shape
         z_lo = np.asarray([bd[0] for bd in bs.bounds], np.int32)
-        L_z = bs.bounds[0][1] - bs.bounds[0][0] + 1
         y_lo = np.asarray([bd[2] for bd in bs.bounds], np.int32)
-        L_y = bs.bounds[0][3] - bs.bounds[0][2] + 1
-        for zmin, zmax, ymin, ymax in bs.bounds:  # shared-L format invariant
-            if zmax - zmin + 1 != L_z or ymax - ymin + 1 != L_y:
-                raise ValueError("corrupt bitstream: inconsistent symbol "
-                                 "ranges across images")
-        if max(L_z, L_y) > Codec.MAX_SUPPORT or min(L_z, L_y) < 1:
+        lz_per = np.asarray([bd[1] - bd[0] + 1 for bd in bs.bounds], np.int32)
+        ly_per = np.asarray([bd[3] - bd[2] + 1 for bd in bs.bounds], np.int32)
+        if (max(lz_per.max(), ly_per.max()) > Codec.MAX_SUPPORT
+                or min(lz_per.min(), ly_per.min()) < 1):
             raise ValueError("corrupt bitstream: implausible symbol range")
 
-        z_cdfs = self._z_tables(z_lo, L_z)
+        z_cdfs = self._z_tables(z_lo, lz_per)
         z_row_idx = _channel_row_idx(zh, zw, zc)
 
         def decode_z(i: int) -> np.ndarray:
@@ -280,14 +287,11 @@ class Codec:
         with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
             z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
 
-        # Batched hyper-decode over all images — the exact calls the encoder
-        # made (fused hyper+pmf in global mode), so (sigma, nu) and thus the
-        # y CDF tables match bitwise.
-        if bs.spatial_params:
-            sigma_np, nu_np = self._hyper_params(jnp.asarray(z_hat), (yh, yw))
-            y_cdfs = self._y_tables(sigma_np, nu_np, y_lo, L_y)
-        else:
-            y_cdfs = self._y_tables_fused(jnp.asarray(z_hat), y_lo, L_y)
+        # Batched fused hyper-decode + pmf over all images — the exact call
+        # the encoder made on identically-shaped inputs, so (sigma, nu) and
+        # thus the y CDF tables match bitwise.
+        y_cdfs = self._y_tables_fused(jnp.asarray(z_hat), y_lo, ly_per,
+                                      (yh, yw))
         y_row_idx = (np.arange(yh * yw * yc, dtype=np.int32)
                      if bs.spatial_params else _channel_row_idx(yh, yw, yc))
 

@@ -231,3 +231,63 @@ def test_real_bpp_close_to_estimated():
     est = float(r_est)
     # binned-pmf coding under per-image supports: within ~10% + small constant
     assert abs(res.bpp - est) < 0.1 * est + 0.05, (res.bpp, est)
+
+
+@pytest.mark.parametrize("spatial", [False, True])
+def test_per_image_supports_isolated(spatial):
+    """A wide-latent-range outlier image must not inflate the other images'
+    CDF support lengths (per-image bucketed L, round-1 VERDICT weak #5) —
+    and the batch must still round-trip losslessly."""
+    model = CompressionModel(N=16, M=24, spatial_params=spatial)
+    x = jnp.asarray(synthetic_patches(3, (64, 64), seed=2))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+    # widen image 0's latent range AT THE LATENT level (GDN makes the
+    # analysis transform scale-invariant, so scaling the input can't); a
+    # small bucket makes the per-image widening visible
+    from dsic_tpu.config import CodecConfig
+    xin = np.asarray(x)
+    codec = Codec(model, params, CodecConfig(support_bucket=8))
+    orig_enc = codec._encode_latents
+
+    def widened(p, xd):
+        y_q, z_q = orig_enc(p, xd)
+        return y_q.at[0].multiply(25), z_q
+
+    codec._encode_latents = widened
+    res = codec.compress(xin)
+
+    bs = unpack_bitstream(res.data)
+    ly = np.asarray([bd[3] - bd[2] + 1 for bd in bs.bounds])
+    assert ly[0] > ly[1], "outlier image should carry a wider support"
+    assert ly[1] == ly[2]
+    bucket = codec.cfg.support_bucket
+    assert all(L % bucket == 0 for L in ly)
+
+    y_q, z_q = codec.latents(xin)
+    y_hat, z_hat = codec.decoded_latents(res.data)
+    np.testing.assert_array_equal(y_hat, y_q)
+    np.testing.assert_array_equal(z_hat, z_q)
+
+
+def test_spatial_mode_single_table_sync():
+    """Spatial mode must build y tables through the fused one-device-call
+    path (hyper maps never transferred to host): count jit dispatches."""
+    model = CompressionModel(N=16, M=24, spatial_params=True)
+    x = jnp.asarray(synthetic_patches(2, (64, 64), seed=0))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+    codec = Codec(model, params)
+    calls = {"n": 0}
+    orig = codec._y_pmf_from_z_spatial
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    codec._y_pmf_from_z_spatial = counting
+    res = codec.compress(np.asarray(x))
+    assert calls["n"] == 1, "encode should build all y tables in ONE call"
+    calls["n"] = 0
+    codec.decompress(res.data)
+    assert calls["n"] == 1, "decode should build all y tables in ONE call"
