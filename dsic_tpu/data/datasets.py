@@ -115,13 +115,26 @@ class Loader:
 
     def __init__(self, dataset: FolderImages, batch_size: int,
                  shuffle: bool = True, drop_last: bool = True,
-                 num_workers: int = 8, prefetch: int = 2, seed: int = 0):
+                 num_workers: int = 8, prefetch: int = 2, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch. On a multi-host pod pass
+        (jax.process_index(), jax.process_count()): every process computes the
+        same seeded shuffle, then reads only ITS batch_size/process_count
+        slice of each global batch — the slice parallel.mesh.shard_batch
+        assembles into the global array (SURVEY.md section 2 parallelism
+        checklist, "DCN for multi-host input pipelines")."""
+        if batch_size % max(1, process_count):
+            raise ValueError(f"global batch_size {batch_size} must divide by "
+                             f"process_count {process_count}")
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.drop_last = drop_last
+        # a partial final global batch cannot split evenly across processes
+        self.drop_last = drop_last or process_count > 1
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self._epoch_rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -129,13 +142,21 @@ class Loader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
+        # Identical seeded order on every process (the rng is seeded per
+        # Loader and advanced once per epoch on all processes alike), so the
+        # global batch composition is consistent across hosts.
         order = np.arange(len(self.ds))
         if self.shuffle:
             self._epoch_rng.shuffle(order)
         batches = []
         bs = self.batch_size
+        local = bs // self.process_count
         for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs):
-            batches.append(order[i:i + bs])
+            idxs = order[i:i + bs]
+            if self.process_count > 1:
+                idxs = idxs[self.process_index * local:
+                            (self.process_index + 1) * local]
+            batches.append(idxs)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -183,7 +204,9 @@ class Loader:
 
 
 def make_loaders(cfg):
-    """Config -> (train_loader, val_loader), mirroring datasets.py:74-93."""
+    """Config -> (train_loader, val_loader), mirroring datasets.py:74-93.
+    On a multi-host pod (jax.distributed initialized, process_count > 1) each
+    process automatically loads only its slice of every global batch."""
     paths = list_images(cfg.DATA.root)
     if not paths:
         raise FileNotFoundError(f"No images found under {cfg.DATA.root}")
@@ -196,10 +219,18 @@ def make_loaders(cfg):
                             **common)
     val_ds = FolderImages(val_paths, train=False, seed=cfg.DATA.seed + 1,
                           **common)
+    try:  # host-only module: jax is optional here, used just for topology
+        import jax
+        proc = dict(process_index=jax.process_index(),
+                    process_count=jax.process_count())
+    except Exception:  # noqa: BLE001
+        proc = dict(process_index=0, process_count=1)
     train_loader = Loader(train_ds, cfg.DATA.batch_size, shuffle=True,
                           drop_last=True, num_workers=cfg.DATA.num_workers,
-                          prefetch=cfg.DATA.prefetch, seed=cfg.DATA.seed)
+                          prefetch=cfg.DATA.prefetch, seed=cfg.DATA.seed,
+                          **proc)
     val_loader = Loader(val_ds, cfg.DATA.batch_size, shuffle=False,
                         drop_last=False, num_workers=cfg.DATA.num_workers,
-                        prefetch=cfg.DATA.prefetch, seed=cfg.DATA.seed)
+                        prefetch=cfg.DATA.prefetch, seed=cfg.DATA.seed,
+                        **proc)
     return train_loader, val_loader

@@ -63,4 +63,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, x, spatial: bool = False):
-    return jax.device_put(x, batch_sharding(mesh, spatial))
+    """Place a batch on the mesh. Single-process: ``x`` is the global batch
+    (device_put distributes it). Multi-process (multi-host pod): ``x`` is this
+    PROCESS'S SLICE of the global batch — rows
+    [rank * B_local, (rank+1) * B_local) in process order — and the global
+    array is assembled from the per-process locals over DCN-free addressable
+    shards via jax.make_array_from_process_local_data. Requires the standard
+    make_mesh layout (jax.devices() orders by process, so the 'data' axis
+    spans processes contiguously) and a per-process Loader slice
+    (data.datasets.Loader(process_index=..., process_count=...))."""
+    sharding = batch_sharding(mesh, spatial)
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(), *x.shape[1:])
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+    return jax.device_put(x, sharding)

@@ -91,3 +91,32 @@ def test_synthetic_patches_stats():
     # must be compressible: neighboring pixels correlated
     corr = np.corrcoef(p[0, :-1].ravel(), p[0, 1:].ravel())[0, 1]
     assert corr > 0.5
+
+
+def test_loader_process_sharding(tmp_path):
+    """Multi-host input path: with (process_index, process_count) set, every
+    process computes the same global batch order and reads only its
+    contiguous slice — concatenating the per-rank batches in rank order must
+    reproduce the single-process global batch exactly."""
+    write_synthetic_dataset(str(tmp_path), n=16, hw=(48, 48), seed=3)
+    ds = FolderImages(str(tmp_path), train=False, shape_policy="pad",
+                      seed=5)
+
+    def batches_for(rank, count):
+        loader = Loader(ds, batch_size=8, shuffle=True, drop_last=True,
+                        num_workers=2, seed=11, process_index=rank,
+                        process_count=count)
+        return list(loader)
+
+    global_batches = batches_for(0, 1)
+    per_rank = [batches_for(r, 4) for r in range(4)]
+    assert all(len(b) == len(global_batches) for b in per_rank)
+    for step in range(len(global_batches)):
+        assert all(per_rank[r][step].shape == (2, 48, 48, 3) for r in range(4))
+        merged = np.concatenate([per_rank[r][step] for r in range(4)], axis=0)
+        np.testing.assert_array_equal(merged, global_batches[step])
+
+    # global batch must divide evenly across processes
+    import pytest
+    with pytest.raises(ValueError):
+        Loader(ds, batch_size=6, process_index=0, process_count=4)
