@@ -1,11 +1,13 @@
 from dsic_tpu.codec.rans import rans_encode, rans_decode, rans_available
 from dsic_tpu.codec.cdf import (
     quantize_pmf_to_cdf, gaussian_cdf_rows, student_t_cdf_rows)
-from dsic_tpu.codec.api import Codec, compress_images, decompress_images
+from dsic_tpu.codec.api import (Codec, ZooCodec, make_codec,
+                                compress_images, decompress_images)
 from dsic_tpu.codec.bitstream import pack_bitstream, unpack_bitstream
 
 __all__ = [
     "rans_encode", "rans_decode", "rans_available", "quantize_pmf_to_cdf",
-    "gaussian_cdf_rows", "student_t_cdf_rows", "Codec", "compress_images",
+    "gaussian_cdf_rows", "student_t_cdf_rows", "Codec", "ZooCodec",
+    "make_codec", "compress_images",
     "decompress_images", "pack_bitstream", "unpack_bitstream",
 ]

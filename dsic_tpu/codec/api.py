@@ -35,8 +35,8 @@ import jax.numpy as jnp
 from dsic_tpu.config import CodecConfig
 from dsic_tpu.codec.bitstream import Bitstream, pack_bitstream, unpack_bitstream
 from dsic_tpu.codec.cdf import (
-    gaussian_cdf_rows_batch, pad_support, student_t_bin_probs,
-    quantize_pmf_to_cdf)
+    gaussian_bin_probs, gaussian_cdf_rows_batch, pad_support,
+    student_t_bin_probs, quantize_pmf_to_cdf)
 from dsic_tpu.codec.rans import rans_encode, rans_decode
 
 
@@ -66,14 +66,22 @@ class Codec:
         self.model = model
         self.params = params
         self.cfg = cfg or CodecConfig()
+        # one CDF row per y ELEMENT (vs per channel); stored in the bitstream
+        # header so decode picks the matching row index layout
+        self._per_element_y = bool(getattr(model, "spatial_params", False))
+        self._build_model_jits()
 
+    def _build_model_jits(self):
+        """Model-family-specific jitted entry points (overridden by ZooCodec
+        for the Gaussian-conditional baseline families)."""
+        model = self.model
         self._encode_latents = jax.jit(
             lambda p, x: model.apply(p, x, method=model.encode_latents_i16))
         self._synthesize = jax.jit(
-            lambda p, y: model.apply(p, y.astype(jnp.float32),
-                                     method=model.synthesize))
+            lambda p, y, z: model.apply(p, y.astype(jnp.float32),
+                                        method=model.synthesize))
         self._synthesize_u8 = jax.jit(
-            lambda p, y: model.apply(p, y, method=model.synthesize_u8))
+            lambda p, y, z: model.apply(p, y, method=model.synthesize_u8))
         # Fused table paths: hyper-decode + Student-t bin probabilities in
         # ONE device call per direction (one host sync instead of two-three).
         # Encoder and decoder both use them, preserving the bitwise-table
@@ -96,7 +104,7 @@ class Codec:
         self._y_pmf_from_z_spatial = jax.jit(_spatial_pmf,
                                              static_argnums=(3, 4))
 
-        zl = params["params"]["z_log_sigma"]
+        zl = self.params["params"]["z_log_sigma"]
         self._sigma_z = np.asarray(jnp.exp(zl), dtype=np.float32)
 
     # --- shared table construction (encoder and decoder call these with the
@@ -196,7 +204,7 @@ class Codec:
         spatial mode."""
         b = int(z_dev.shape[0])
         L_pad = int(l_per.max())  # already bucketed
-        spatial = self.model.spatial_params
+        spatial = self._per_element_y
         rows = (latent_hw[0] * latent_hw[1] * self.model.M if spatial
                 else self.model.M)
         chunk = max(1, int(256e6 / max(1, rows * L_pad * 4)))
@@ -224,7 +232,7 @@ class Codec:
         tail = self.cfg.tail
         n_states = self.cfg.interleave
         bucket = self.cfg.support_bucket
-        spatial = self.model.spatial_params
+        spatial = self._per_element_y
 
         z_lo, lz_per = self._bounds(z_np, tail, bucket)
         y_lo, ly_per = self._bounds(y_np, tail, bucket)
@@ -329,11 +337,13 @@ class Codec:
         wire traffic; what gets written to PNG anyway). False keeps the exact
         float synthesis output."""
         bs = unpack_bitstream(data)
-        y_hat, _ = self._decode_planes(bs)
+        y_hat, z_hat = self._decode_planes(bs)
         if quantize_output:
-            u8 = self._synthesize_u8(self.params, jnp.asarray(y_hat))
+            u8 = self._synthesize_u8(self.params, jnp.asarray(y_hat),
+                                     jnp.asarray(z_hat))
             return np.asarray(u8).astype(np.float32) / 255.0
-        x_hat = self._synthesize(self.params, jnp.asarray(y_hat))
+        x_hat = self._synthesize(self.params, jnp.asarray(y_hat),
+                                 jnp.asarray(z_hat))
         return np.asarray(jnp.clip(x_hat, 0.0, 1.0))
 
     # --- introspection (round-trip tests) ----------------------------------
@@ -349,9 +359,82 @@ class Codec:
 
 def compress_images(model, params, x: np.ndarray,
                     cfg: CodecConfig | None = None) -> CompressResult:
-    return Codec(model, params, cfg).compress(x)
+    return make_codec(model, params, cfg).compress(x)
 
 
 def decompress_images(model, params, data: bytes,
                       cfg: CodecConfig | None = None) -> np.ndarray:
-    return Codec(model, params, cfg).decompress(data)
+    return make_codec(model, params, cfg).decompress(data)
+
+
+class ZooCodec(Codec):
+    """Real entropy codec for the live baseline families (models/zoo.py
+    ScaleHyperprior / MeanScaleHyperprior): z under the learned factorized
+    density (tables from the SAME jitted CDF on both sides), y under the
+    Gaussian conditional with per-element scales (and, for mbt2018-mean,
+    mean-residual symbols round(y - mu) recentered at decode). The reference
+    gets this capability from compressai's coder; here the zoo shares this
+    framework's rANS/bitstream machinery, so baselines produce REAL bpp too."""
+
+    SIGMA_MIN = 0.11  # matches the training likelihood's scale floor
+
+    def _build_model_jits(self):
+        model = self.model
+        self._per_element_y = True  # Gaussian conditional: one row/element
+        self._encode_latents = jax.jit(
+            lambda p, x: model.apply(p, x, method=model.encode_latents_i16))
+
+        def _synth(p, y, z, u8):
+            y_hat = model.apply(p, y.astype(jnp.float32),
+                                z.astype(jnp.float32), method=model.decode_y)
+            x_hat = jnp.clip(model.apply(p, y_hat, method=model.synthesize),
+                             0.0, 1.0)
+            return (x_hat * 255.0 + 0.5).astype(jnp.uint8) if u8 else x_hat
+
+        self._synthesize = jax.jit(lambda p, y, z: _synth(p, y, z, False))
+        self._synthesize_u8 = jax.jit(lambda p, y, z: _synth(p, y, z, True))
+
+        def _y_pmf(p, z, lo, L_pad, hw):
+            sigma, _ = model.apply(p, z.astype(jnp.float32), hw,
+                                   method=model.y_scales)
+            b = sigma.shape[0]
+            sigma = jnp.maximum(sigma.astype(jnp.float32), self.SIGMA_MIN)
+            return gaussian_bin_probs(sigma.reshape(b, -1), lo, L_pad)
+
+        self._y_pmf_from_z_spatial = jax.jit(_y_pmf, static_argnums=(3, 4))
+        self._y_pmf_from_z = None  # zoo always codes per-element rows
+
+        def _z_pmf(p, lo, L_pad):
+            n = model.N
+            grid = (lo[:, None].astype(jnp.float32)
+                    + jnp.arange(L_pad, dtype=jnp.float32)[None, :])
+            g = jnp.broadcast_to(grid[:, :, None], (lo.shape[0], L_pad, n))
+            cu = model.apply(p, g + 0.5, method=model.z_cdf)
+            cl = model.apply(p, g - 0.5, method=model.z_cdf)
+            return jnp.clip(cu - cl, 1e-12, 1.0).transpose(0, 2, 1)
+
+        self._z_pmf = jax.jit(_z_pmf, static_argnums=(2,))
+
+    def _z_tables(self, z_lo: np.ndarray, l_per: np.ndarray) -> list:
+        """Factorized-density rows, evaluated through the jitted z_cdf (the
+        decoder runs the identical call -> bitwise-identical tables)."""
+        out: list = [None] * z_lo.shape[0]
+        for L in np.unique(l_per):
+            idx = np.where(l_per == L)[0]
+            pmf = np.asarray(self._z_pmf(
+                self.params, jnp.asarray(z_lo[idx], jnp.int32), int(L)))
+            rows = quantize_pmf_to_cdf(
+                pmf.reshape(len(idx) * self.model.N, int(L))
+            ).reshape(len(idx), self.model.N, int(L) + 1)
+            for j, i in enumerate(idx):
+                out[i] = rows[j]
+        return out
+
+
+def make_codec(model, params, cfg: CodecConfig | None = None,
+               compute_dtype=None) -> Codec:
+    """Model-family dispatch: the Student-t DSIC codec or the zoo's
+    Gaussian-conditional codec (any model exposing the zoo codec protocol:
+    z_cdf / y_scales / decode_y)."""
+    cls = ZooCodec if hasattr(model, "z_cdf") else Codec
+    return cls(model, params, cfg, compute_dtype)

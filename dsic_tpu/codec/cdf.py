@@ -80,6 +80,21 @@ def student_t_bin_probs(sigma: jax.Array, nu: jax.Array, lo: jax.Array,
 _student_t_pmf = jax.jit(student_t_bin_probs, static_argnums=(3,))
 
 
+def gaussian_bin_probs(sigma: jax.Array, lo: jax.Array,
+                       L_pad: int) -> jax.Array:
+    """Traceable zero-mean Gaussian analogue of :func:`student_t_bin_probs`:
+    (G, R) sigma + (G,) lo -> (G, R, L_pad) unit-bin probabilities. Used by
+    the zoo codec's Gaussian-conditional y tables (fused with hyper-decode on
+    device)."""
+    from dsic_tpu.ops.distributions import std_gaussian_cdf
+    support = (lo[:, None].astype(jnp.float32)
+               + jnp.arange(L_pad, dtype=jnp.float32)[None, :])
+    inv = 1.0 / sigma[:, :, None]
+    fu = std_gaussian_cdf((support[:, None, :] + 0.5) * inv)
+    fl = std_gaussian_cdf((support[:, None, :] - 0.5) * inv)
+    return jnp.clip(fu - fl, PMF_FLOOR, 1.0)
+
+
 def gaussian_cdf_rows_batch(sigma: np.ndarray, lo: np.ndarray, L: int,
                             bucket: int = 64) -> np.ndarray:
     """Batched integer CDF rows: (G, R) sigma, (G,) per-group lo, shared

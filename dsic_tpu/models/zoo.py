@@ -191,8 +191,30 @@ class ScaleHyperprior(nn.Module):
         z = self.h_a(jnp.abs(y))
         return jnp.round(y), jnp.round(z)
 
+    def encode_latents_i16(self, x: jax.Array):
+        """Codec wire format (see CompressionModel.encode_latents_i16):
+        uint8-in, int16 symbol planes out. y symbols are round(y)."""
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) * (1.0 / 255.0)
+        y_q, z_q = self.encode_latents(x)
+        lim = 30000.0
+        return (jnp.clip(y_q, -lim, lim).astype(jnp.int16),
+                jnp.clip(z_q, -lim, lim).astype(jnp.int16))
+
+    def y_scales(self, z_hat: jax.Array, latent_hw=None):
+        """Codec protocol: per-element (sigma, mean) of the y conditional;
+        mean is None for the zero-mean bmshj2018 Gaussian."""
+        del latent_hw  # h_s output already has y's spatial size
+        return self.hyper_scales(z_hat), None
+
     def synthesize(self, y_hat: jax.Array) -> jax.Array:
         return self.g_s(y_hat)
+
+    def decode_y(self, y_sym: jax.Array, z_hat: jax.Array) -> jax.Array:
+        """Codec protocol: decoded y symbols -> decoder input (identity for
+        the zero-mean conditional)."""
+        del z_hat
+        return y_sym.astype(jnp.float32)
 
     def __call__(self, x: jax.Array, quant_mode: str = "noise",
                  train: bool = True) -> dict[str, Any]:
@@ -244,8 +266,35 @@ class MeanScaleHyperprior(nn.Module):
         z = self.h_a(y)
         return jnp.round(y), jnp.round(z)
 
+    def encode_latents_i16(self, x: jax.Array):
+        """Codec wire format. y symbols are the mean-RESIDUAL round(y - mu)
+        with mu computed from the ROUNDED z — exactly what the decoder can
+        recompute (Minnen 2018 decode rule)."""
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) * (1.0 / 255.0)
+        y = self.g_a(x)
+        z = self.h_a(y)
+        z_q = jnp.round(z)
+        _, mu = self.hyper_params(z_q)
+        s = jnp.round(y.astype(jnp.float32) - mu)
+        lim = 30000.0
+        return (jnp.clip(s, -lim, lim).astype(jnp.int16),
+                jnp.clip(z_q, -lim, lim).astype(jnp.int16))
+
+    def y_scales(self, z_hat: jax.Array, latent_hw=None):
+        """Codec protocol: the y residual s = round(y - mu) is coded under
+        Gaussian(0, sigma), so only sigma parameterizes the tables."""
+        del latent_hw
+        sigma, _ = self.hyper_params(z_hat)
+        return sigma, None
+
     def synthesize(self, y_hat: jax.Array) -> jax.Array:
         return self.g_s(y_hat)
+
+    def decode_y(self, y_sym: jax.Array, z_hat: jax.Array) -> jax.Array:
+        """Codec protocol: y_hat = residual symbols + mu(z_hat)."""
+        _, mu = self.hyper_params(z_hat.astype(jnp.float32))
+        return y_sym.astype(jnp.float32) + mu
 
     def __call__(self, x: jax.Array, quant_mode: str = "noise",
                  train: bool = True) -> dict[str, Any]:

@@ -124,15 +124,21 @@ class Trainer:
                         m = jax.device_get(metrics)
                         dt = (time.perf_counter() - t_last) / cfg.LOGGING.log_every
                         t_last = time.perf_counter()
+                        # 1-D is MS-SSIM only under the msssim distortion
+                        is_mss = cfg.LOSS.dist == "msssim"
                         csv.log(step=self.global_step, epoch=epoch,
                                 loss=float(m["loss"]), R_bpp=float(m["R"]),
-                                D=float(m["D"]), msssim=1.0 - float(m["D"]),
+                                D=float(m["D"]),
+                                msssim=(1.0 - float(m["D"])) if is_mss
+                                else float("nan"),
                                 grad_norm=float(m["grad_norm"]),
                                 sec_per_step=dt)
+                        d_tag = (f"MS-SSIM={1 - float(m['D']):.4f}" if is_mss
+                                 else f"MSE={float(m['D']):.5f}")
                         log_fn(f"[{self.run_name}] epoch {epoch} step "
                                f"{self.global_step}: loss={float(m['loss']):.4f} "
                                f"R={float(m['R']):.3f}bpp "
-                               f"MS-SSIM={1 - float(m['D']):.4f} "
+                               f"{d_tag} "
                                f"({dt * 1e3:.0f} ms/step)")
 
                     if (val_loader is not None
