@@ -149,6 +149,28 @@ def test_spatial_step_routed_from_make_sharded_train_step():
     assert int(new_state.step) == 1
 
 
+def test_spatial_step_compiles_without_involuntary_remat(capfd):
+    """Round-1 VERDICT: the GSPMD 4x2 step triggered '[SPMD] Involuntary full
+    rematerialization' on the h_s gradient. The shard_map step is manually
+    partitioned, so the SPMD partitioner must never fall back to
+    replicate-then-repartition. Guards at compile time: the warning is
+    emitted on stderr by spmd_partitioner.cc during compilation."""
+    cfg = _tiny_cfg()
+    model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                          sample_shape=(1, 64, 64, 3))
+    mesh = make_mesh(4, 2)
+    step = make_sharded_train_step(model, tx, 20.0, mesh, dist="msssim",
+                                   spatial=True, donate=False)
+    x = shard_batch(mesh, jnp.asarray(synthetic_patches(8, (64, 64), seed=0)),
+                    spatial=True)
+    capfd.readouterr()  # drop anything earlier tests left on the C-level fds
+    compiled = step.lower(shard_state(state, mesh), x,
+                          jax.random.PRNGKey(1)).compile()
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err
+    assert compiled is not None
+
+
 @pytest.mark.xfail(strict=False, reason=(
     "Documents the XLA SPMD partitioner bug (jax 0.9, CPU backend, GSPMD and "
     "Shardy) that makes GSPMD unusable for H-sharded training of this model: "
