@@ -378,7 +378,9 @@ class ZooCodec(Codec):
 
     SIGMA_MIN = 0.11  # matches the training likelihood's scale floor
 
-    def _build_model_jits(self):
+    def _build_zoo_common_jits(self):
+        """Jits shared by all zoo families: latents, decode_y-routed
+        synthesis, and the factorized z-prior pmf."""
         model = self.model
         self._per_element_y = True  # Gaussian conditional: one row/element
         self._encode_latents = jax.jit(
@@ -394,16 +396,6 @@ class ZooCodec(Codec):
         self._synthesize = jax.jit(lambda p, y, z: _synth(p, y, z, False))
         self._synthesize_u8 = jax.jit(lambda p, y, z: _synth(p, y, z, True))
 
-        def _y_pmf(p, z, lo, L_pad, hw):
-            sigma, _ = model.apply(p, z.astype(jnp.float32), hw,
-                                   method=model.y_scales)
-            b = sigma.shape[0]
-            sigma = jnp.maximum(sigma.astype(jnp.float32), self.SIGMA_MIN)
-            return gaussian_bin_probs(sigma.reshape(b, -1), lo, L_pad)
-
-        self._y_pmf_from_z_spatial = jax.jit(_y_pmf, static_argnums=(3, 4))
-        self._y_pmf_from_z = None  # zoo always codes per-element rows
-
         def _z_pmf(p, lo, L_pad):
             n = model.N
             grid = (lo[:, None].astype(jnp.float32)
@@ -414,6 +406,20 @@ class ZooCodec(Codec):
             return jnp.clip(cu - cl, 1e-12, 1.0).transpose(0, 2, 1)
 
         self._z_pmf = jax.jit(_z_pmf, static_argnums=(2,))
+
+    def _build_model_jits(self):
+        model = self.model
+        self._build_zoo_common_jits()
+
+        def _y_pmf(p, z, lo, L_pad, hw):
+            sigma, _ = model.apply(p, z.astype(jnp.float32), hw,
+                                   method=model.y_scales)
+            b = sigma.shape[0]
+            sigma = jnp.maximum(sigma.astype(jnp.float32), self.SIGMA_MIN)
+            return gaussian_bin_probs(sigma.reshape(b, -1), lo, L_pad)
+
+        self._y_pmf_from_z_spatial = jax.jit(_y_pmf, static_argnums=(3, 4))
+        self._y_pmf_from_z = None  # zoo always codes per-element rows
 
     def _z_tables(self, z_lo: np.ndarray, l_per: np.ndarray) -> list:
         """Factorized-density rows, evaluated through the jitted z_cdf (the
@@ -431,10 +437,213 @@ class ZooCodec(Codec):
         return out
 
 
+class CheckerboardCodec(ZooCodec):
+    """Two-pass entropy codec for the checkerboard context family
+    (models/cheng.py Cheng2020Checkerboard): anchors decode first under
+    hyperprior-only Gaussian tables, then ONE dense device call turns the
+    decoded anchors into the non-anchor tables (fused anchor-dequant +
+    context conv + pmf). The reference's cheng2020_attn pays h*w serial
+    context evaluations per image at decode (compressai's autoregressive
+    loop); this pays exactly two.
+
+    Decodability invariant: the encoder feeds the pass-2 table build the
+    anchor-only symbol tensor (non-anchors zeroed on host) — byte-identical
+    to what the decoder reconstructs from the anchor stream — through the
+    SAME jitted function, so both sides build bitwise-identical tables."""
+
+    def _build_model_jits(self):
+        model = self.model
+        self._build_zoo_common_jits()
+        self._y_pmf_from_z = None
+        self._y_pmf_from_z_spatial = None  # replaced by the two pass builders
+
+        def _pmf1(p, z, lo, L_pad, sel):
+            """anchor-pass tables: sigma from the hyperprior only; row
+            selection happens ON DEVICE (halves pmf compute + transfer)."""
+            sigma, _ = model.apply(p, z.astype(jnp.float32),
+                                   method=model.anchor_params)
+            rows = jnp.maximum(sigma.reshape(sigma.shape[0], -1)[:, sel],
+                               self.SIGMA_MIN)
+            return gaussian_bin_probs(rows, lo, L_pad)
+
+        def _pmf2(p, z, y_sym_anchor, lo, L_pad, sel):
+            """non-anchor-pass tables, fused: anchor dequant -> context conv
+            -> entropy params -> pmf in one device call."""
+            z = z.astype(jnp.float32)
+            y_anchor_hat = model.apply(p, y_sym_anchor, z,
+                                       method=model.decode_anchor)
+            sigma, _ = model.apply(p, z, y_anchor_hat,
+                                   method=model.nonanchor_params)
+            rows = jnp.maximum(sigma.reshape(sigma.shape[0], -1)[:, sel],
+                               self.SIGMA_MIN)
+            return gaussian_bin_probs(rows, lo, L_pad)
+
+        self._y_pmf_pass1 = jax.jit(_pmf1, static_argnums=(3,))
+        self._y_pmf_pass2 = jax.jit(_pmf2, static_argnums=(4,))
+
+    @staticmethod
+    def _split_idx(yh: int, yw: int, yc: int):
+        """Flat NHWC indices of the anchor ((i+j) even) and non-anchor
+        halves — the fixed on-wire symbol order within each stream."""
+        mask = (np.add.outer(np.arange(yh), np.arange(yw)) % 2 == 0)
+        flat = np.repeat(mask.ravel(), yc)
+        return (np.where(flat)[0].astype(np.int64),
+                np.where(~flat)[0].astype(np.int64))
+
+    def _pass_tables(self, pmf_fn, args, y_lo, l_per, sel_dev) -> list:
+        """Chunked device pmf build for one pass -> per-image CDF rows."""
+        b = int(args[0].shape[0])
+        L_pad = int(l_per.max())
+        rows = int(sel_dev.shape[0])
+        chunk = max(1, int(256e6 / max(1, rows * L_pad * 4)))
+        pmfs = []
+        for i in range(0, b, chunk):
+            lo_dev = jnp.asarray(y_lo[i:i + chunk], jnp.int32)
+            sliced = [a[i:i + chunk] for a in args]
+            pmfs.append(np.asarray(
+                pmf_fn(self.params, *sliced, lo_dev, L_pad, sel_dev)))
+        pmf = pmfs[0] if len(pmfs) == 1 else np.concatenate(pmfs, axis=0)
+        return self._per_image_quantize(pmf, l_per)
+
+    def _host_encode(self, handles) -> CompressResult:
+        (h, w), y_q, z_q = handles
+        b = y_q.shape[0]
+        yh, yw, yc = y_q.shape[1:]
+        zh, zw, zc = z_q.shape[1:]
+        y_np = np.asarray(y_q).astype(np.int64)
+        z_np = np.asarray(z_q).astype(np.int64)
+
+        tail, n_states = self.cfg.tail, self.cfg.interleave
+        z_lo, lz_per = self._bounds(z_np, tail, self.cfg.support_bucket)
+        y_lo, ly_per = self._bounds(y_np, tail, self.cfg.support_bucket)
+        z_cdfs = self._z_tables(z_lo, lz_per)
+
+        a_idx, na_idx = self._split_idx(yh, yw, yc)
+        a_sel = jnp.asarray(a_idx, jnp.int32)
+        na_sel = jnp.asarray(na_idx, jnp.int32)
+
+        # pass-2 table input: anchor-only symbols, byte-identical to the
+        # decoder's scatter of the decoded anchor stream
+        y_anchor_only = np.asarray(y_q).copy()
+        y_anchor_only.reshape(b, -1)[:, na_idx] = 0
+        y_anchor_dev = jnp.asarray(y_anchor_only)
+
+        y_cdfs_a = self._pass_tables(self._y_pmf_pass1, (z_q,),
+                                     y_lo, ly_per, a_sel)
+        y_cdfs_na = self._pass_tables(self._y_pmf_pass2, (z_q, y_anchor_dev),
+                                      y_lo, ly_per, na_sel)
+
+        z_row_idx = _channel_row_idx(zh, zw, zc)
+        a_rows = np.arange(len(a_idx), dtype=np.int32)
+        na_rows = np.arange(len(na_idx), dtype=np.int32)
+
+        def encode_one(i: int):
+            flat = y_np[i].ravel()
+            z_sym = (z_np[i].ravel() - z_lo[i]).astype(np.int32)
+            a_sym = (flat[a_idx] - y_lo[i]).astype(np.int32)
+            na_sym = (flat[na_idx] - y_lo[i]).astype(np.int32)
+            return (rans_encode(z_sym, z_cdfs[i], z_row_idx, n_states),
+                    rans_encode(a_sym, y_cdfs_a[i], a_rows, n_states),
+                    rans_encode(na_sym, y_cdfs_na[i], na_rows, n_states))
+
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            payloads = list(pool.map(encode_one, range(b)))
+
+        bounds = [(int(z_lo[i]), int(z_lo[i]) + int(lz_per[i]) - 1,
+                   int(y_lo[i]), int(y_lo[i]) + int(ly_per[i]) - 1)
+                  for i in range(b)]
+        bs = Bitstream(y_shape=(b, yh, yw, yc), z_shape=(b, zh, zw, zc),
+                       bounds=bounds,
+                       z_payloads=[p[0] for p in payloads],
+                       y_payloads=[p[1] for p in payloads],
+                       y2_payloads=[p[2] for p in payloads],
+                       spatial_params=True, two_pass=True,
+                       n_states=n_states, tail=tail)
+        data = pack_bitstream(bs)
+        per_image_bits = [8 * (len(p[0]) + len(p[1]) + len(p[2]))
+                          for p in payloads]
+        payload_bits = float(sum(per_image_bits))
+        return CompressResult(
+            data=data,
+            bpp=payload_bits / (b * h * w),
+            bpp_container=8.0 * len(data) / (b * h * w),
+            per_image_bits=per_image_bits)
+
+    def _decode_planes(self, bs: Bitstream):
+        if not bs.two_pass:
+            raise ValueError("CheckerboardCodec needs a two_pass bitstream")
+        b, yh, yw, yc = bs.y_shape
+        _, zh, zw, zc = bs.z_shape
+        z_lo = np.asarray([bd[0] for bd in bs.bounds], np.int32)
+        y_lo = np.asarray([bd[2] for bd in bs.bounds], np.int32)
+        lz_per = np.asarray([bd[1] - bd[0] + 1 for bd in bs.bounds], np.int32)
+        ly_per = np.asarray([bd[3] - bd[2] + 1 for bd in bs.bounds], np.int32)
+        if (max(lz_per.max(), ly_per.max()) > Codec.MAX_SUPPORT
+                or min(lz_per.min(), ly_per.min()) < 1):
+            raise ValueError("corrupt bitstream: implausible symbol range")
+
+        z_cdfs = self._z_tables(z_lo, lz_per)
+        z_row_idx = _channel_row_idx(zh, zw, zc)
+
+        def decode_z(i: int) -> np.ndarray:
+            sym = rans_decode(bs.z_payloads[i], zh * zw * zc, z_cdfs[i],
+                              z_row_idx, bs.n_states)
+            return (sym + z_lo[i]).astype(np.int16).reshape(zh, zw, zc)
+
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
+        z_dev = jnp.asarray(z_hat)
+
+        a_idx, na_idx = self._split_idx(yh, yw, yc)
+        a_sel = jnp.asarray(a_idx, jnp.int32)
+        na_sel = jnp.asarray(na_idx, jnp.int32)
+        a_rows = np.arange(len(a_idx), dtype=np.int32)
+        na_rows = np.arange(len(na_idx), dtype=np.int32)
+
+        # pass 1: anchors under hyper-only tables
+        y_cdfs_a = self._pass_tables(self._y_pmf_pass1, (z_dev,),
+                                     y_lo, ly_per, a_sel)
+
+        def decode_a(i: int) -> np.ndarray:
+            sym = rans_decode(bs.y_payloads[i], len(a_idx), y_cdfs_a[i],
+                              a_rows, bs.n_states)
+            return (sym + y_lo[i]).astype(np.int16)
+
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            a_syms = list(pool.map(decode_a, range(b)))
+
+        y_flat = np.zeros((b, yh * yw * yc), np.int16)
+        for i in range(b):
+            y_flat[i, a_idx] = a_syms[i]
+        y_anchor_dev = jnp.asarray(y_flat.reshape(b, yh, yw, yc))
+
+        # pass 2: non-anchors under context tables from the decoded anchors
+        y_cdfs_na = self._pass_tables(self._y_pmf_pass2,
+                                      (z_dev, y_anchor_dev),
+                                      y_lo, ly_per, na_sel)
+
+        def decode_na(i: int) -> np.ndarray:
+            sym = rans_decode(bs.y2_payloads[i], len(na_idx), y_cdfs_na[i],
+                              na_rows, bs.n_states)
+            return (sym + y_lo[i]).astype(np.int16)
+
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            na_syms = list(pool.map(decode_na, range(b)))
+        for i in range(b):
+            y_flat[i, na_idx] = na_syms[i]
+        return y_flat.reshape(b, yh, yw, yc), z_hat
+
+
 def make_codec(model, params, cfg: CodecConfig | None = None,
                compute_dtype=None) -> Codec:
-    """Model-family dispatch: the Student-t DSIC codec or the zoo's
+    """Model-family dispatch: the Student-t DSIC codec, the zoo's
     Gaussian-conditional codec (any model exposing the zoo codec protocol:
-    z_cdf / y_scales / decode_y)."""
-    cls = ZooCodec if hasattr(model, "z_cdf") else Codec
+    z_cdf / y_scales / decode_y), or the two-pass checkerboard codec
+    (anchor_params / nonanchor_params / decode_anchor)."""
+    if hasattr(model, "anchor_params"):
+        cls = CheckerboardCodec
+    elif hasattr(model, "z_cdf"):
+        cls = ZooCodec
+    else:
+        cls = Codec
     return cls(model, params, cfg, compute_dtype)

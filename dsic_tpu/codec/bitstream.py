@@ -8,12 +8,18 @@ one self-describing byte buffer.
 Layout (little-endian):
     magic   4s   b"DSTC"
     version u8
-    flags   u8   bit0: spatial_params
+    flags   u8   bit0: spatial_params; bit1: two_pass (checkerboard context)
     n_states u8  rANS interleave factor
     tail    u8
     B, y_h, y_w, y_c, z_h, z_w, z_c   u16 x7
     per image: zmin, zmax, ymin, ymax  i32 x4;  len_z, len_y  u32 x2
-    payloads: (z bytes, y bytes) per image, concatenated
+               (+ len_y2 u32 when two_pass)
+    payloads: (z bytes, y bytes[, y2 bytes]) per image, concatenated
+
+two_pass carries the checkerboard context model's two y streams per image
+(anchors, then non-anchors — models/cheng.py): the non-anchor stream's
+tables depend on the decoded anchor stream, so they cannot share one rANS
+stream.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ MAGIC = b"DSTC"
 VERSION = 1
 _HEAD = struct.Struct("<4sBBBB7H")
 _IMG = struct.Struct("<4i2I")
+_IMG2 = struct.Struct("<4i3I")  # two_pass: adds len_y2
 
 FILE_SUFFIX = ".dsic"
 
@@ -57,26 +64,37 @@ class Bitstream:
     spatial_params: bool = False
     n_states: int = 4
     tail: int = 10
+    two_pass: bool = False  # checkerboard: y_payloads=anchors, y2=non-anchors
+    y2_payloads: list = field(default_factory=list)
 
     @property
     def num_bytes(self) -> int:
         payload = sum(len(z) + len(y)
                       for z, y in zip(self.z_payloads, self.y_payloads))
-        return _HEAD.size + _IMG.size * len(self.bounds) + payload
+        payload += sum(len(p) for p in self.y2_payloads)
+        img = _IMG2 if self.two_pass else _IMG
+        return _HEAD.size + img.size * len(self.bounds) + payload
 
 
 def pack_bitstream(bs: Bitstream) -> bytes:
     b, yh, yw, yc = bs.y_shape
     _, zh, zw, zc = bs.z_shape
-    flags = 1 if bs.spatial_params else 0
+    flags = (1 if bs.spatial_params else 0) | (2 if bs.two_pass else 0)
     parts = [_HEAD.pack(MAGIC, VERSION, flags, bs.n_states, bs.tail,
                         b, yh, yw, yc, zh, zw, zc)]
-    for (zmin, zmax, ymin, ymax), zp, yp in zip(bs.bounds, bs.z_payloads,
-                                                bs.y_payloads):
-        parts.append(_IMG.pack(zmin, zmax, ymin, ymax, len(zp), len(yp)))
-    for zp, yp in zip(bs.z_payloads, bs.y_payloads):
+    y2 = bs.y2_payloads if bs.two_pass else [b""] * b
+    for (zmin, zmax, ymin, ymax), zp, yp, yp2 in zip(
+            bs.bounds, bs.z_payloads, bs.y_payloads, y2):
+        if bs.two_pass:
+            parts.append(_IMG2.pack(zmin, zmax, ymin, ymax,
+                                    len(zp), len(yp), len(yp2)))
+        else:
+            parts.append(_IMG.pack(zmin, zmax, ymin, ymax, len(zp), len(yp)))
+    for zp, yp, yp2 in zip(bs.z_payloads, bs.y_payloads, y2):
         parts.append(zp)
         parts.append(yp)
+        if bs.two_pass:
+            parts.append(yp2)
     return b"".join(parts)
 
 
@@ -89,24 +107,29 @@ def unpack_bitstream(data: bytes) -> Bitstream:
         raise ValueError("not a DSTC bitstream")
     if version != VERSION:
         raise ValueError(f"unsupported bitstream version {version}")
-    if len(data) < _HEAD.size + _IMG.size * b:
+    two_pass = bool(flags & 2)
+    img = _IMG2 if two_pass else _IMG
+    if len(data) < _HEAD.size + img.size * b:
         raise ValueError("truncated bitstream (image table)")
     off = _HEAD.size
     bounds, lens = [], []
     for _ in range(b):
-        zmin, zmax, ymin, ymax, lz, ly = _IMG.unpack_from(data, off)
-        off += _IMG.size
-        bounds.append((zmin, zmax, ymin, ymax))
-        lens.append((lz, ly))
-    if off + sum(lz + ly for lz, ly in lens) > len(data):
+        rec = img.unpack_from(data, off)
+        off += img.size
+        bounds.append(rec[:4])
+        lens.append(rec[4:] if two_pass else (*rec[4:], 0))
+    if off + sum(sum(l) for l in lens) > len(data):
         raise ValueError("truncated bitstream (payloads)")
-    z_payloads, y_payloads = [], []
-    for lz, ly in lens:
+    z_payloads, y_payloads, y2_payloads = [], [], []
+    for lz, ly, ly2 in lens:
         z_payloads.append(data[off:off + lz]); off += lz
         y_payloads.append(data[off:off + ly]); off += ly
+        if two_pass:
+            y2_payloads.append(data[off:off + ly2]); off += ly2
     if off != len(data):
         raise ValueError("trailing bytes in bitstream")
     return Bitstream(y_shape=(b, yh, yw, yc), z_shape=(b, zh, zw, zc),
                      bounds=bounds, z_payloads=z_payloads,
                      y_payloads=y_payloads, spatial_params=bool(flags & 1),
-                     n_states=n_states, tail=tail)
+                     n_states=n_states, tail=tail, two_pass=two_pass,
+                     y2_payloads=y2_payloads)

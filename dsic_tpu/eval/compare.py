@@ -84,13 +84,13 @@ def _zoo_forward(cfg, family: str, quality: int, ckpt_root: str,
     import os
     import dataclasses
     import jax
-    from dsic_tpu.models.zoo import ZOO_QUALITY, zoo_ckpt_name
+    from dsic_tpu.models.zoo import zoo_quality, zoo_ckpt_name
     from dsic_tpu.train.state import build_model, create_train_state
     from dsic_tpu.utils.checkpoint import restore_checkpoint
     from dsic_tpu.ops.pad import pad_to_multiple, crop_to
     from dsic_tpu.ops.msssim import ms_ssim
 
-    preset = ZOO_QUALITY[quality]
+    preset = zoo_quality(family, quality)
     qcfg = cfg.replace(MODEL=dataclasses.replace(
         cfg.MODEL, family=family, N=preset["N"], M=preset["M"]))
     model = build_model(qcfg, train_dtype=None)
@@ -116,7 +116,7 @@ def _zoo_forward(cfg, family: str, quality: int, ckpt_root: str,
 def process_vs_zoo(cfg, model, params, img: np.ndarray, lam, family: str,
                    ckpt_root: str, out_dir: str,
                    csv_logger: CsvLogger | None = None,
-                   qualities=range(1, 9)) -> dict | None:
+                   qualities=None) -> dict | None:
     """bpp-matched visual comparison vs a LIVE learned baseline: run every
     trained `{family}_q{q}` checkpoint on the image, pick the quality whose
     bpp is closest to the model's, save its reconstruction
@@ -125,7 +125,10 @@ def process_vs_zoo(cfg, model, params, img: np.ndarray, lam, family: str,
     the summary row (resultsanalysisballe.py:139-268 semantics; the reference
     does this with pretrained compressai models, here the baselines are
     trained on the same data)."""
+    from dsic_tpu.models.zoo import zoo_qualities
     os.makedirs(out_dir, exist_ok=True)
+    if qualities is None:
+        qualities = zoo_qualities(family)
     row = evaluate_model_on_images(model, params, [img], ["image"])[0]
 
     from dsic_tpu.ops.pad import pad_to_multiple, crop_to

@@ -140,7 +140,7 @@ def evaluate_model_lambdas(cfg: Config, ckpt_root: str, image_dir: str,
 
 def evaluate_zoo_qualities(cfg: Config, ckpt_root: str, image_dir: str,
                            out_dir: str, family: str = "bmshj2018",
-                           qualities=range(1, 9), max_images: int = 1000,
+                           qualities=None, max_images: int = 1000,
                            batch_size: int = 8) -> dict:
     """LIVE learned-baseline RD curve: load the in-framework `{family}_q{q}`
     checkpoints (models/zoo.py, trained with --family/--quality_sweep) and
@@ -151,9 +151,11 @@ def evaluate_zoo_qualities(cfg: Config, ckpt_root: str, image_dir: str,
     (writeupbdcurvesballeALL.py:385-435) with batched jitted ones; missing
     checkpoints are skipped with a warning."""
     import dataclasses
-    from dsic_tpu.models.zoo import ZOO_QUALITY, zoo_ckpt_name
+    from dsic_tpu.models.zoo import zoo_quality, zoo_qualities, zoo_ckpt_name
     from dsic_tpu.utils.image_io import list_images as _list, load_image_u8
     os.makedirs(out_dir, exist_ok=True)
+    if qualities is None:
+        qualities = zoo_qualities(family)
     paths = _list(image_dir)[:max_images]
     images = [load_image_u8(p) for p in paths]
     names = [os.path.basename(p) for p in paths]
@@ -164,7 +166,7 @@ def evaluate_zoo_qualities(cfg: Config, ckpt_root: str, image_dir: str,
     with CsvLogger(per_path, ["quality", "image", "bpp", "mse", "psnr",
                               "msssim"]) as per:
         for q in qualities:
-            preset = ZOO_QUALITY[q]
+            preset = zoo_quality(family, q)
             qcfg = cfg.replace(MODEL=dataclasses.replace(
                 cfg.MODEL, family=family, N=preset["N"], M=preset["M"]))
             model = build_model(qcfg, train_dtype=None)

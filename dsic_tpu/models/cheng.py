@@ -1,0 +1,356 @@
+"""cheng2020-class live baseline, TPU-native: residual/attention transforms
+with a CHECKERBOARD spatial context model.
+
+The reference's third learned baseline is compressai's ``cheng2020_attn``
+(/root/reference/code/modelv2/writeupbdcurveschengALL.py:206): Cheng et al.
+CVPR 2020 — residual-block transforms with simplified attention, and an
+entropy model that conditions each latent on previously-decoded neighbours
+through a PixelCNN-style *serial* autoregressive context. Serial decode is
+h*w sequential network evaluations per image — a scalar loop that cannot
+tile onto the MXU and would be orders of magnitude slower than the
+transforms on TPU.
+
+TPU-first redesign (this module): keep the cheng2020 transform family
+(residual blocks with stride, residual subpixel upsampling, attention
+blocks) but replace the serial context with the *checkerboard* context of
+He et al., "Checkerboard Context Model for Efficient Learned Image
+Compression" (CVPR 2021): latents split into anchors/non-anchors on a
+spatial checkerboard; anchors code with hyperprior-only parameters,
+non-anchors add a masked-conv context over the decoded anchors. Decoding is
+exactly TWO full-tensor passes — both dense convolutions that tile onto the
+MXU — instead of h*w serial steps, at a small (<3% in the paper) BD-rate
+cost vs the serial context. The Gaussian mixture of cheng2020 is simplified
+to a mean-scale Gaussian conditional so the codec's per-element table
+machinery (codec/api.py ZooCodec) applies unchanged; the checkerboard
+two-pass coding lives in codec/api.py:CheckerboardCodec.
+
+Quality grid: compressai's cheng2020 grid (6 qualities, N=M; q1-3 N=128,
+q4-6 N=192) with the same MSE lambdas as the other zoo families.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dsic_tpu.models.layers import conv
+from dsic_tpu.ops.entropy_bottleneck import (
+    FactorizedDensity, gaussian_bin_neg_log2_prob)
+from dsic_tpu.ops.quantize import quantize, ste_round
+
+
+def depth_to_space(x: jax.Array, r: int) -> jax.Array:
+    """NHWC pixel shuffle: (B,H,W,C*r*r) -> (B,H*r,W*r,C)."""
+    b, h, w, c = x.shape
+    c_out = c // (r * r)
+    x = x.reshape(b, h, w, r, r, c_out)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * r, w * r, c_out)
+
+
+def subpel_conv(features: int, r: int = 2, k: int = 3, dtype=None, name=None):
+    """Sub-pixel upsampling conv (conv k -> depth_to_space): the TPU-friendly
+    upsampler cheng2020 uses (one dense conv + a free reshape, no strided
+    transpose-conv scatter)."""
+    class _SubPel(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = conv(features * r * r, k, 1, dtype=dtype, name="conv")(x)
+            return depth_to_space(x, r)
+    return _SubPel(name=name)
+
+
+class ResidualBlock(nn.Module):
+    """conv3 -> LeakyReLU -> conv3 -> LeakyReLU(+skip) (Cheng 2020 fig. 2)."""
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.leaky_relu(conv(self.features, 3, 1, dtype=self.dtype,
+                               name="conv_0")(x))
+        h = nn.leaky_relu(conv(self.features, 3, 1, dtype=self.dtype,
+                               name="conv_1")(h))
+        if x.shape[-1] != self.features:
+            x = conv(self.features, 1, 1, dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class ResidualBlockWithStride(nn.Module):
+    """conv3 s2 -> LeakyReLU -> conv3 -> LeakyReLU; skip via conv1 s2."""
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.leaky_relu(conv(self.features, 3, 2, dtype=self.dtype,
+                               name="conv_0")(x))
+        h = nn.leaky_relu(conv(self.features, 3, 1, dtype=self.dtype,
+                               name="conv_1")(h))
+        skip = conv(self.features, 1, 2, dtype=self.dtype, name="skip")(x)
+        return skip + h
+
+
+class ResidualBlockUpsample(nn.Module):
+    """subpel up x2 -> LeakyReLU -> conv3 -> LeakyReLU; skip via subpel."""
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.leaky_relu(subpel_conv(self.features, 2, dtype=self.dtype,
+                                      name="up")(x))
+        h = nn.leaky_relu(conv(self.features, 3, 1, dtype=self.dtype,
+                               name="conv")(h))
+        skip = subpel_conv(self.features, 2, dtype=self.dtype,
+                           name="skip")(x)
+        return skip + h
+
+
+class AttentionBlock(nn.Module):
+    """Cheng 2020 simplified attention: trunk = 3 bottleneck residual units,
+    mask branch = 3 units + conv1 + sigmoid gate; out = x + trunk * gate."""
+    features: int
+    dtype: jnp.dtype | None = None
+
+    def _unit(self, x, name):
+        n = self.features
+        h = nn.relu(conv(n // 2, 1, 1, dtype=self.dtype,
+                         name=f"{name}_c0")(x))
+        h = nn.relu(conv(n // 2, 3, 1, dtype=self.dtype,
+                         name=f"{name}_c1")(h))
+        h = conv(n, 1, 1, dtype=self.dtype, name=f"{name}_c2")(h)
+        return nn.relu(x + h)
+
+    @nn.compact
+    def __call__(self, x):
+        t = x
+        for i in range(3):
+            t = self._unit(t, f"trunk_{i}")
+        m = x
+        for i in range(3):
+            m = self._unit(m, f"mask_{i}")
+        m = conv(self.features, 1, 1, dtype=self.dtype, name="mask_out")(m)
+        return x + t * jax.nn.sigmoid(m)
+
+
+class ChengAnalysis(nn.Module):
+    """g_a: RBS, RB, RBS, Attn, RB, RBS, RB, conv3 s2 -> N (stride 16)."""
+    N: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        x = ResidualBlockWithStride(self.N, d, name="rbs_0")(x)
+        x = ResidualBlock(self.N, d, name="rb_0")(x)
+        x = ResidualBlockWithStride(self.N, d, name="rbs_1")(x)
+        x = AttentionBlock(self.N, d, name="attn_0")(x)
+        x = ResidualBlock(self.N, d, name="rb_1")(x)
+        x = ResidualBlockWithStride(self.N, d, name="rbs_2")(x)
+        x = ResidualBlock(self.N, d, name="rb_2")(x)
+        x = conv(self.N, 3, 2, dtype=d, name="conv_out")(x)
+        return AttentionBlock(self.N, d, name="attn_1")(x)
+
+
+class ChengSynthesis(nn.Module):
+    """g_s: Attn, RB, RBUp, RB, RBUp, Attn, RB, RBUp, RB, subpel -> 3."""
+    N: int
+    out_channels: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, y):
+        d = self.dtype
+        y = AttentionBlock(self.N, d, name="attn_0")(y)
+        y = ResidualBlock(self.N, d, name="rb_0")(y)
+        y = ResidualBlockUpsample(self.N, d, name="rbu_0")(y)
+        y = ResidualBlock(self.N, d, name="rb_1")(y)
+        y = ResidualBlockUpsample(self.N, d, name="rbu_1")(y)
+        y = AttentionBlock(self.N, d, name="attn_1")(y)
+        y = ResidualBlock(self.N, d, name="rb_2")(y)
+        y = ResidualBlockUpsample(self.N, d, name="rbu_2")(y)
+        y = ResidualBlock(self.N, d, name="rb_3")(y)
+        return subpel_conv(self.out_channels, 2, dtype=d, name="up_out")(y)
+
+
+class ChengHyperAnalysis(nn.Module):
+    """h_a: conv3 s1 x2, conv3 s2, conv3 s1, conv3 s2 (z = y spatial / 4)."""
+    N: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, y):
+        d = self.dtype
+        t = nn.leaky_relu(conv(self.N, 3, 1, dtype=d, name="conv_0")(y))
+        t = nn.leaky_relu(conv(self.N, 3, 1, dtype=d, name="conv_1")(t))
+        t = nn.leaky_relu(conv(self.N, 3, 2, dtype=d, name="conv_2")(t))
+        t = nn.leaky_relu(conv(self.N, 3, 1, dtype=d, name="conv_3")(t))
+        return conv(self.N, 3, 2, dtype=d, name="conv_4")(t)
+
+
+class ChengHyperSynthesis(nn.Module):
+    """h_s: two subpel x2 upsamples -> hyper features Psi with 2N channels
+    (consumed by the entropy-parameter aggregator, not split directly)."""
+    N: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, z_hat):
+        d = self.dtype
+        t = nn.leaky_relu(conv(self.N, 3, 1, dtype=d, name="conv_0")(z_hat))
+        t = nn.leaky_relu(subpel_conv(self.N * 3 // 2, 2, dtype=d,
+                                      name="up_0")(t))
+        t = nn.leaky_relu(conv(self.N * 3 // 2, 3, 1, dtype=d,
+                               name="conv_1")(t))
+        t = nn.leaky_relu(subpel_conv(self.N * 2, 2, dtype=d, name="up_1")(t))
+        return conv(self.N * 2, 3, 1, dtype=d, name="conv_2")(t)
+
+
+def checkerboard_mask(h: int, w: int, dtype=jnp.float32) -> jax.Array:
+    """(1, h, w, 1) anchor mask: 1 where (i + j) is even (the anchor half of
+    He 2021's checkerboard), 0 on non-anchors."""
+    ii = jnp.arange(h)[:, None]
+    jj = jnp.arange(w)[None, :]
+    return (((ii + jj) % 2 == 0).astype(dtype))[None, :, :, None]
+
+
+class Cheng2020Checkerboard(nn.Module):
+    """Cheng-2020-class transforms + checkerboard context entropy model.
+
+    Codec protocol (codec/api.py:CheckerboardCodec): two-pass —
+    ``anchor_params(z_hat)`` -> pass-1 tables; ``decode_anchor`` fills the
+    anchor half; ``nonanchor_params(z_hat, y_anchor_hat)`` -> pass-2 tables;
+    ``combine`` merges. Symbols are mean residuals round(y - mu) per group,
+    exactly recomputable by the decoder (anchors' mu depends only on z_hat;
+    non-anchors' mu only on z_hat + decoded anchors)."""
+
+    N: int = 128
+    M: int = 128  # cheng2020: y channels == N
+    out_channels: int = 3
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.g_a = ChengAnalysis(self.N, dtype=self.dtype)
+        self.g_s = ChengSynthesis(self.N, self.out_channels, dtype=self.dtype)
+        self.h_a = ChengHyperAnalysis(self.N, dtype=self.dtype)
+        self.h_s = ChengHyperSynthesis(self.N, dtype=self.dtype)
+        self.z_prior = FactorizedDensity(self.N)
+        # checkerboard context: one dense 5x5 conv over the anchor-masked
+        # latents (He 2021's masked conv — zeroing non-anchors makes the
+        # plain conv see only anchors at non-anchor positions)
+        self.ctx = conv(self.N * 2, 5, 1, dtype=self.dtype, name="ctx")
+        # entropy-parameter aggregator: 1x1 convs over [Psi, Phi] (4N) -> 2N
+        self.ep_0 = conv(self.N * 3, 1, 1, dtype=self.dtype, name="ep_0")
+        self.ep_1 = conv(self.N * 2, 1, 1, dtype=self.dtype, name="ep_1")
+
+    # --- entropy-parameter pieces -------------------------------------------
+
+    def _entropy_params(self, psi: jax.Array, phi: jax.Array):
+        t = jnp.concatenate([psi, phi], axis=-1)
+        t = nn.leaky_relu(self.ep_0(t))
+        t = self.ep_1(t)
+        sigma, mu = jnp.split(t.astype(jnp.float32), 2, axis=-1)
+        return sigma, mu
+
+    def _psi(self, z_hat: jax.Array) -> jax.Array:
+        return self.h_s(z_hat)
+
+    def anchor_params(self, z_hat: jax.Array):
+        """(sigma, mu) for the anchor pass: hyper features only, zero
+        context (He 2021 eq. 8). Valid at anchor positions."""
+        psi = self._psi(z_hat.astype(jnp.float32))
+        return self._entropy_params(psi, jnp.zeros_like(psi))
+
+    def nonanchor_params(self, z_hat: jax.Array, y_anchor_hat: jax.Array):
+        """(sigma, mu) for the non-anchor pass: hyper features + masked-conv
+        context over the decoded anchors. Valid at non-anchor positions."""
+        psi = self._psi(z_hat.astype(jnp.float32))
+        phi = self.ctx(y_anchor_hat.astype(psi.dtype))
+        return self._entropy_params(psi, phi)
+
+    # --- codec protocol -------------------------------------------------------
+
+    def z_cdf(self, t: jax.Array) -> jax.Array:
+        return self.z_prior.cdf(t)
+
+    def encode_latents_i16(self, x: jax.Array):
+        """uint8/float image -> (y residual symbols int16, z symbols int16).
+        Anchor cells hold round(y - mu_anchor); non-anchor cells hold
+        round(y - mu_nonanchor) with the context computed from the SAME
+        dequantized anchors the decoder will reconstruct."""
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) * (1.0 / 255.0)
+        y = self.g_a(x).astype(jnp.float32)
+        z = self.h_a(y)
+        z_q = jnp.round(z)
+        mask = checkerboard_mask(y.shape[1], y.shape[2])
+        _, mu_a = self.anchor_params(z_q)
+        s_a = jnp.round(y - mu_a)
+        y_anchor_hat = mask * (s_a + mu_a)
+        _, mu_na = self.nonanchor_params(z_q, y_anchor_hat)
+        s = mask * s_a + (1.0 - mask) * jnp.round(y - mu_na)
+        lim = 30000.0
+        return (jnp.clip(s, -lim, lim).astype(jnp.int16),
+                jnp.clip(z_q, -lim, lim).astype(jnp.int16))
+
+    def decode_anchor(self, y_sym: jax.Array, z_hat: jax.Array) -> jax.Array:
+        """Pass-1 decode: anchor residual symbols -> y with anchors filled
+        (zeros at non-anchors), the context conv's input."""
+        _, mu_a = self.anchor_params(z_hat)
+        mask = checkerboard_mask(y_sym.shape[1], y_sym.shape[2])
+        return mask * (y_sym.astype(jnp.float32) + mu_a)
+
+    def decode_y(self, y_sym: jax.Array, z_hat: jax.Array) -> jax.Array:
+        """Full two-pass dequantization (also the ZooCodec-protocol entry
+        point used by synthesis): residual symbols -> y_hat."""
+        y_anchor_hat = self.decode_anchor(y_sym, z_hat.astype(jnp.float32))
+        _, mu_na = self.nonanchor_params(z_hat.astype(jnp.float32),
+                                         y_anchor_hat)
+        mask = checkerboard_mask(y_sym.shape[1], y_sym.shape[2])
+        return y_anchor_hat + (1.0 - mask) * (y_sym.astype(jnp.float32)
+                                              + mu_na)
+
+    def synthesize(self, y_hat: jax.Array) -> jax.Array:
+        return self.g_s(y_hat)
+
+    # --- training forward -----------------------------------------------------
+
+    def __call__(self, x: jax.Array, quant_mode: str = "noise",
+                 train: bool = True) -> dict[str, Any]:
+        y = self.g_a(x)
+        z = self.h_a(y.astype(jnp.float32))
+        if quant_mode == "noise":
+            key_y, key_z = jax.random.split(self.make_rng("noise"))
+            y_tilde = quantize(y, "noise", key_y)
+            z_tilde = quantize(z, "noise", key_z)
+        else:
+            y_tilde = quantize(y, quant_mode)
+            z_tilde = quantize(z, quant_mode)
+
+        nll_z = self.z_prior(z_tilde.astype(jnp.float32))
+
+        # two-stage entropy params (He 2021 training): anchors see hyper
+        # only; non-anchors see hyper + context over STE-rounded anchors
+        # (the decode-time input, keeping train/test context consistent)
+        yf = y.astype(jnp.float32)
+        mask = checkerboard_mask(y.shape[1], y.shape[2])
+        sigma_a, mu_a = self.anchor_params(z_tilde)
+        y_anchor_hat = mask * (ste_round(yf - mu_a) + mu_a)
+        sigma_na, mu_na = self.nonanchor_params(z_tilde, y_anchor_hat)
+        sigma = mask * sigma_a + (1.0 - mask) * sigma_na
+        mu = mask * mu_a + (1.0 - mask) * mu_na
+        nll_y = gaussian_bin_neg_log2_prob(y_tilde.astype(jnp.float32),
+                                           sigma, mean=mu)
+        if train:
+            y_hat = y_tilde
+        else:
+            y_hat = y_anchor_hat + (1.0 - mask) * (ste_round(yf - mu_na)
+                                                   + mu_na)
+        x_hat = self.g_s(y_hat.astype(y.dtype))
+        return {"x_hat": x_hat, "nll_y": nll_y, "nll_z": nll_z,
+                "y": y, "y_tilde": y_tilde, "z": z, "z_tilde": z_tilde,
+                "sigma": sigma, "mu": mu}

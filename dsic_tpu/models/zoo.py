@@ -323,10 +323,40 @@ class MeanScaleHyperprior(nn.Module):
                 "sigma": sigma, "mu": mu}
 
 
+from dsic_tpu.models.cheng import Cheng2020Checkerboard  # noqa: E402
+
 ZOO_FAMILIES = {
     "bmshj2018": ScaleHyperprior,
     "mbt2018_mean": MeanScaleHyperprior,
+    "cheng2020_checkerboard": Cheng2020Checkerboard,
 }
+
+# cheng2020's grid: 6 qualities, y channels == N (compressai cheng2020_attn,
+# the reference's third baseline family, writeupbdcurveschengALL.py:206)
+CHENG_QUALITY = {
+    1: dict(N=128, M=128, lam=0.0018 * 255.0 ** 2),
+    2: dict(N=128, M=128, lam=0.0035 * 255.0 ** 2),
+    3: dict(N=128, M=128, lam=0.0067 * 255.0 ** 2),
+    4: dict(N=192, M=192, lam=0.0130 * 255.0 ** 2),
+    5: dict(N=192, M=192, lam=0.0250 * 255.0 ** 2),
+    6: dict(N=192, M=192, lam=0.0483 * 255.0 ** 2),
+}
+
+
+def zoo_quality(family: str, quality: int) -> dict:
+    """Family-aware quality preset (cheng has its own 6-point N=M grid)."""
+    table = (CHENG_QUALITY if family == "cheng2020_checkerboard"
+             else ZOO_QUALITY)
+    if quality not in table:
+        raise ValueError(f"{family} quality must be in "
+                         f"{sorted(table)}, got {quality}")
+    return table[quality]
+
+
+def zoo_qualities(family: str) -> list[int]:
+    """The family's full quality grid (8 for the hyperpriors, 6 for cheng)."""
+    return sorted(CHENG_QUALITY if family == "cheng2020_checkerboard"
+                  else ZOO_QUALITY)
 
 
 def build_zoo_model(family: str, quality: int,
@@ -335,9 +365,7 @@ def build_zoo_model(family: str, quality: int,
     if family not in ZOO_FAMILIES:
         raise ValueError(f"unknown zoo family {family!r}; "
                          f"have {sorted(ZOO_FAMILIES)}")
-    if quality not in ZOO_QUALITY:
-        raise ValueError(f"quality must be 1-8, got {quality}")
-    q = ZOO_QUALITY[quality]
+    q = zoo_quality(family, quality)
     model = ZOO_FAMILIES[family](N=q["N"], M=q["M"], dtype=dtype)
     return model, q["lam"]
 

@@ -73,16 +73,16 @@ def _train_zoo(cfg, args):
     """Quality-sweep trainer for the live baseline families (the zoo analogue
     of the reference's per-lambda SLURM sweep): one checkpoint per compressai
     quality preset, MSE loss, framework lambda from ZOO_QUALITY."""
-    from dsic_tpu.models.zoo import ZOO_QUALITY, zoo_ckpt_name
+    from dsic_tpu.models.zoo import zoo_quality, zoo_ckpt_name
     if args.family == "dsic":
         raise SystemExit("--quality/--quality_sweep need --family "
-                         "bmshj2018|mbt2018_mean")
+                         "bmshj2018|mbt2018_mean|cheng2020_checkerboard")
     if args.quality_sweep:
         qualities = [int(q) for q in args.quality_sweep.split(",")]
     else:
         qualities = [args.quality or 1]
     for q in qualities:
-        preset = ZOO_QUALITY[q]
+        preset = zoo_quality(args.family, q)
         run_cfg = cfg.replace(
             MODEL=dataclasses.replace(cfg.MODEL, family=args.family,
                                       N=preset["N"], M=preset["M"]),

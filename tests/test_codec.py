@@ -291,3 +291,24 @@ def test_spatial_mode_single_table_sync():
     calls["n"] = 0
     codec.decompress(res.data)
     assert calls["n"] == 1, "decode should build all y tables in ONE call"
+
+
+def test_bitstream_two_pass_pack_unpack():
+    """two_pass container: three payloads per image survive the round trip
+    and the flag gates the record layout."""
+    from dsic_tpu.codec.bitstream import (
+        Bitstream, pack_bitstream, unpack_bitstream)
+    bs = Bitstream(y_shape=(2, 4, 4, 8), z_shape=(2, 1, 1, 8),
+                   bounds=[(-3, 3, -9, 9), (-2, 2, -5, 5)],
+                   z_payloads=[b"zz0", b"z1"],
+                   y_payloads=[b"anchor0", b"a1"],
+                   y2_payloads=[b"nonanchor0", b"na1"],
+                   spatial_params=True, two_pass=True, n_states=4, tail=10)
+    data = pack_bitstream(bs)
+    assert len(data) == bs.num_bytes
+    out = unpack_bitstream(data)
+    assert out.two_pass and out.spatial_params
+    assert out.y2_payloads == [b"nonanchor0", b"na1"]
+    assert out.y_payloads == [b"anchor0", b"a1"]
+    assert out.z_payloads == [b"zz0", b"z1"]
+    assert out.bounds == [(-3, 3, -9, 9), (-2, 2, -5, 5)]

@@ -201,3 +201,126 @@ def test_zoo_codec_roundtrip_lossless(family):
     est_bpp = float((jnp.sum(out["nll_y"]) + jnp.sum(out["nll_z"]))
                     / (x.shape[0] * x.shape[1] * x.shape[2]))
     assert res.bpp < est_bpp * 1.35 + 0.1
+
+
+# --- cheng2020_checkerboard (models/cheng.py) -------------------------------
+
+def test_checkerboard_mask_structure():
+    from dsic_tpu.models.cheng import checkerboard_mask
+    for h, w in [(4, 4), (5, 7), (8, 6)]:
+        m = np.asarray(checkerboard_mask(h, w))[0, :, :, 0]
+        ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        np.testing.assert_array_equal(m, ((ii + jj) % 2 == 0).astype(m.dtype))
+
+
+def test_cheng_forward_contract():
+    from dsic_tpu.models.cheng import Cheng2020Checkerboard
+    x = _x()
+    model = Cheng2020Checkerboard(N=16, M=16)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+    out = model.apply(params, x, quant_mode="noise", train=True,
+                      rngs={"noise": jax.random.PRNGKey(2)})
+    assert out["x_hat"].shape == x.shape
+    assert out["y"].shape == (2, 4, 4, 16)  # y channels == N (cheng2020)
+    assert out["z"].shape == (2, 1, 1, 16)
+    loss, r, d = rate_distortion_loss(out, x, lambda_rd=100.0, dist="mse")
+    assert np.isfinite(float(loss)) and float(r) > 0
+    oe = model.apply(params, x, quant_mode="round", train=False)
+    assert np.isfinite(float(jnp.sum(oe["nll_y"])))
+
+
+def test_cheng_context_is_anchor_causal():
+    """The non-anchor entropy params must depend ONLY on z and the anchor
+    half: perturbing non-anchor entries of the context input must not change
+    them (the decodability condition of the checkerboard model)."""
+    from dsic_tpu.models.cheng import Cheng2020Checkerboard, checkerboard_mask
+    model = Cheng2020Checkerboard(N=16, M=16)
+    x = _x()
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+    y_sym, z_sym = model.apply(params, x, method=model.encode_latents_i16)
+    mask = np.asarray(checkerboard_mask(y_sym.shape[1], y_sym.shape[2]))
+    anchors = jnp.asarray(np.asarray(y_sym) * mask.astype(np.int16))
+    y_anchor_hat = model.apply(params, anchors, z_sym,
+                               method=model.decode_anchor)
+    # decode_anchor zeroes non-anchors regardless of their symbol values
+    garbage = jnp.asarray(np.asarray(y_sym) + 17 * (1 - mask).astype(np.int16))
+    y_anchor_hat2 = model.apply(params, garbage, z_sym,
+                                method=model.decode_anchor)
+    np.testing.assert_array_equal(np.asarray(y_anchor_hat),
+                                  np.asarray(y_anchor_hat2))
+    s1, m1 = model.apply(params, z_sym, y_anchor_hat,
+                         method=model.nonanchor_params)
+    s2, m2 = model.apply(params, z_sym, y_anchor_hat2,
+                         method=model.nonanchor_params)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_cheng_quality_presets():
+    from dsic_tpu.models.zoo import zoo_qualities
+    model, lam = build_zoo_model("cheng2020_checkerboard", 1)
+    assert model.N == model.M == 128
+    model6, lam6 = build_zoo_model("cheng2020_checkerboard", 6)
+    assert model6.N == 192 and lam6 > lam
+    assert zoo_qualities("cheng2020_checkerboard") == [1, 2, 3, 4, 5, 6]
+    assert zoo_qualities("bmshj2018") == list(range(1, 9))
+    with pytest.raises(ValueError):
+        build_zoo_model("cheng2020_checkerboard", 7)
+
+
+def test_cheng_codec_two_pass_roundtrip():
+    """CheckerboardCodec: symbol-lossless two-pass round trip, two_pass
+    bitstream container, reconstruction == the model's round-mode decode."""
+    from dsic_tpu.codec import make_codec, CheckerboardCodec
+    from dsic_tpu.codec.bitstream import unpack_bitstream
+    from dsic_tpu.models.cheng import Cheng2020Checkerboard
+
+    model = Cheng2020Checkerboard(N=16, M=16)
+    x = _x(b=3, hw=64, seed=4)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+    codec = make_codec(model, params)
+    assert isinstance(codec, CheckerboardCodec)
+
+    xin = np.asarray(x)
+    res = codec.compress(xin)
+    bs = unpack_bitstream(res.data)
+    assert bs.two_pass and len(bs.y2_payloads) == 3
+
+    y_q, z_q = codec.latents(xin)
+    y_hat, z_hat = codec.decoded_latents(res.data)
+    np.testing.assert_array_equal(z_hat, z_q)
+    np.testing.assert_array_equal(y_hat, y_q)
+
+    x_rec = codec.decompress(res.data, quantize_output=False)
+    out = model.apply(params, x, quant_mode="round", train=False)
+    np.testing.assert_allclose(x_rec, np.asarray(jnp.clip(out["x_hat"], 0, 1)),
+                               atol=1e-5)
+    est_bpp = float((jnp.sum(out["nll_y"]) + jnp.sum(out["nll_z"]))
+                    / (x.shape[0] * x.shape[1] * x.shape[2]))
+    assert res.bpp < est_bpp * 1.35 + 0.1
+
+
+def test_cheng_gradients_flow_to_context():
+    """Rate gradients must reach the context conv and entropy-parameter
+    aggregator (through the STE-rounded anchors), or training silently
+    ignores the context model."""
+    from dsic_tpu.models.cheng import Cheng2020Checkerboard
+    model = Cheng2020Checkerboard(N=16, M=16)
+    x = _x()
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+
+    def loss_fn(p):
+        out = model.apply(p, x, quant_mode="noise", train=True,
+                          rngs={"noise": jax.random.PRNGKey(2)})
+        loss, _, _ = rate_distortion_loss(out, x, lambda_rd=100.0, dist="mse")
+        return loss
+
+    g = jax.grad(loss_fn)(params)
+    for name in ("ctx", "ep_0", "ep_1"):
+        leaves = jax.tree.leaves(g["params"][name])
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves), \
+            f"zero gradient into {name}"
