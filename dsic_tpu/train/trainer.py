@@ -78,6 +78,12 @@ class Trainer:
         self.epoch = 0
         self.best_val_r = float("inf")
         self._key = jax.random.PRNGKey(cfg.TRAIN.seed + 1)
+        # step count at the start of the current epoch: lets resume re-enter
+        # a partially-trained epoch at the right batch offset instead of
+        # restarting at the next epoch boundary (which drifts step counts vs
+        # a non-preempted run)
+        self._epoch_start_step = 0
+        self._resume_mid_epoch = False
 
     # --- checkpointing -----------------------------------------------------
 
@@ -87,7 +93,9 @@ class Trainer:
         return save_checkpoint(path, self.state, extra={
             "epoch": self.epoch, "step": self.global_step,
             "best_val_R": self.best_val_r,
-            "lambda_rd": self.cfg.LOSS.lambda_rd})
+            "lambda_rd": self.cfg.LOSS.lambda_rd,
+            "epoch_start_step": self._epoch_start_step,
+            "noise_key": np.asarray(self._key).tolist()})
 
     def restore(self, path: str):
         self.state, extra = restore_checkpoint(path, self.state)
@@ -96,6 +104,11 @@ class Trainer:
         self.epoch = int(extra.get("epoch", 0))
         self.global_step = int(extra.get("step", 0))
         self.best_val_r = float(extra.get("best_val_R", float("inf")))
+        if "noise_key" in extra:
+            self._key = jnp.asarray(extra["noise_key"], jnp.uint32)
+        if "epoch_start_step" in extra:
+            self._epoch_start_step = int(extra["epoch_start_step"])
+            self._resume_mid_epoch = True
 
     # --- the loop ----------------------------------------------------------
 
@@ -109,10 +122,25 @@ class Trainer:
                         ["step", "epoch", "loss", "R_bpp", "D", "msssim",
                          "grad_norm", "sec_per_step"])
         t_last = time.perf_counter()
+        # mid-epoch resume: re-enter the partial epoch, skipping the batches
+        # it already consumed, so step counts match a non-preempted run
+        start_epoch = self.epoch + 1
+        skip_batches = 0
+        if self._resume_mid_epoch:
+            self._resume_mid_epoch = False
+            consumed = self.global_step - self._epoch_start_step
+            if self.epoch >= 1 and consumed > 0:
+                start_epoch = self.epoch
+                skip_batches = consumed
         try:
-            for epoch in range(self.epoch + 1, cfg.TRAIN.epochs + 1):
+            for epoch in range(start_epoch, cfg.TRAIN.epochs + 1):
                 self.epoch = epoch
+                if skip_batches == 0:
+                    self._epoch_start_step = self.global_step
                 for x in train_loader:
+                    if skip_batches:
+                        skip_batches -= 1
+                        continue
                     xb = jnp.asarray(x)
                     if self.mesh is not None:
                         xb = shard_batch(self.mesh, xb)

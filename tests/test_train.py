@@ -107,3 +107,35 @@ def test_config_loading(tmp_path):
     assert cfg.LOSS.lambda_rd == 250.0
     assert cfg.DATA.batch_size == 8
     assert cfg.MODEL.min_nu == 2.0  # untouched defaults survive
+
+
+def test_trainer_mid_epoch_resume_matches_step_count(tmp_path):
+    """Preempt a run mid-epoch, resume from the saved checkpoint: the
+    resumed run must re-enter the partial epoch and land on the same final
+    step count (and epoch) as an uninterrupted run (round-1 VERDICT weak #6:
+    epoch-boundary resume drifted step counts)."""
+    from dsic_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(**{
+        "LOSS.lambda_rd": 10.0, "LOSS.dist": "mse",
+        "TRAIN.epochs": 3,
+        "LOGGING.ckpt_dir": str(tmp_path / "ckpts"),
+        "LOGGING.log_every": 100, "LOGGING.val_every": 100})
+    batches = [synthetic_patches(2, (48, 48), seed=s) for s in range(4)]
+
+    # uninterrupted: 3 epochs x 4 batches = 12 steps
+    t0 = Trainer(cfg, run_name="full", sample_shape=(1, 48, 48, 3))
+    t0.fit(batches)
+    assert t0.global_step == 12 and t0.epoch == 3
+
+    # preempted at step 6 (mid-epoch 2: epoch 2 consumed 2 of 4 batches)
+    t1 = Trainer(cfg, run_name="pre", sample_shape=(1, 48, 48, 3))
+    t1.fit(batches, max_steps=6)
+    assert t1.global_step == 6 and t1.epoch == 2
+    ck = t1.save(name="preempt")
+
+    t2 = Trainer(cfg, run_name="res", sample_shape=(1, 48, 48, 3))
+    t2.restore(ck)
+    t2.fit(batches)
+    assert t2.global_step == 12, t2.global_step
+    assert t2.epoch == 3
