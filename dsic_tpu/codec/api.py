@@ -259,7 +259,7 @@ class Codec:
         bs = Bitstream(y_shape=(b, yh, yw, yc), z_shape=(b, zh, zw, zc),
                        bounds=bounds,
                        z_payloads=[p[0] for p in payloads],
-                       y_payloads=[p[1] for p in payloads],
+                       y_streams=[[p[1] for p in payloads]],
                        spatial_params=spatial, n_states=n_states, tail=tail)
         data = pack_bitstream(bs)
         per_image_bits = [8 * (len(p[0]) + len(p[1])) for p in payloads]
@@ -555,10 +555,9 @@ class CheckerboardCodec(ZooCodec):
         bs = Bitstream(y_shape=(b, yh, yw, yc), z_shape=(b, zh, zw, zc),
                        bounds=bounds,
                        z_payloads=[p[0] for p in payloads],
-                       y_payloads=[p[1] for p in payloads],
-                       y2_payloads=[p[2] for p in payloads],
-                       spatial_params=True, two_pass=True,
-                       n_states=n_states, tail=tail)
+                       y_streams=[[p[1] for p in payloads],
+                                  [p[2] for p in payloads]],
+                       spatial_params=True, n_states=n_states, tail=tail)
         data = pack_bitstream(bs)
         per_image_bits = [8 * (len(p[0]) + len(p[1]) + len(p[2]))
                           for p in payloads]
@@ -634,13 +633,168 @@ class CheckerboardCodec(ZooCodec):
         return y_flat.reshape(b, yh, yw, yc), z_hat
 
 
+class ChannelCodec(ZooCodec):
+    """K-pass entropy codec for the channel-conditional family
+    (models/charm.py ChannelARHyperprior): slice k decodes under Gaussian
+    tables conditioned on the hyperprior AND the decoded slices 0..k-1, so
+    the y plane is K rANS streams. Both sides run the SAME per-slice jitted
+    functions (slice_pmf_params / slice_dequant) on identically-shaped
+    inputs — the bitwise-identical-tables invariant. JAX async dispatch
+    keeps it to ~one host sync per slice (the pmf transfer); the decoded
+    prefix never leaves the device between slices."""
+
+    def _build_model_jits(self):
+        model = self.model
+        self._build_zoo_common_jits()
+        self._y_pmf_from_z = None
+        self._y_pmf_from_z_spatial = None
+
+        def _pmf_k(p, z, prefix, lo, L_pad):
+            sigma, _ = model.apply(p, z.astype(jnp.float32), prefix,
+                                   method=model.slice_pmf_params)
+            rows = jnp.maximum(sigma.reshape(sigma.shape[0], -1),
+                               self.SIGMA_MIN)
+            return gaussian_bin_probs(rows, lo, L_pad)
+
+        def _dequant_k(p, z, prefix, syms):
+            return model.apply(p, z.astype(jnp.float32), prefix, syms,
+                               method=model.slice_dequant)
+
+        self._pmf_k = jax.jit(_pmf_k, static_argnums=(4,))
+        self._dequant_k = jax.jit(_dequant_k)
+
+    def _slice_tables(self, z_dev, prefix_dev, y_lo: np.ndarray,
+                      l_per: np.ndarray, rows: int) -> list:
+        """Chunked per-slice pmf build -> per-image (rows, L_i+1) CDFs."""
+        b = int(z_dev.shape[0])
+        L_pad = int(l_per.max())
+        chunk = max(1, int(256e6 / max(1, rows * L_pad * 4)))
+        pmfs = []
+        for i in range(0, b, chunk):
+            lo_dev = jnp.asarray(y_lo[i:i + chunk], jnp.int32)
+            pmfs.append(np.asarray(self._pmf_k(
+                self.params, z_dev[i:i + chunk], prefix_dev[i:i + chunk],
+                lo_dev, L_pad)))
+        pmf = pmfs[0] if len(pmfs) == 1 else np.concatenate(pmfs, axis=0)
+        return self._per_image_quantize(pmf, l_per)
+
+    def _host_encode(self, handles) -> CompressResult:
+        (h, w), y_q, z_q = handles
+        b = y_q.shape[0]
+        yh, yw, yc = y_q.shape[1:]
+        zh, zw, zc = z_q.shape[1:]
+        y_np = np.asarray(y_q).astype(np.int64)
+        z_np = np.asarray(z_q).astype(np.int64)
+        sl = self.model.slice_size
+        n_slices = self.model.num_slices
+
+        tail, n_states = self.cfg.tail, self.cfg.interleave
+        z_lo, lz_per = self._bounds(z_np, tail, self.cfg.support_bucket)
+        y_lo, ly_per = self._bounds(y_np, tail, self.cfg.support_bucket)
+        z_cdfs = self._z_tables(z_lo, lz_per)
+        z_row_idx = _channel_row_idx(zh, zw, zc)
+        rows_k = yh * yw * sl
+        row_idx = np.arange(rows_k, dtype=np.int32)
+
+        z_payloads = []
+        y_streams: list = [[] for _ in range(n_slices)]
+        prefix = jnp.zeros((b, yh, yw, 0), jnp.float32)
+        for k in range(n_slices):
+            cdfs_k = self._slice_tables(z_q, prefix, y_lo, ly_per, rows_k)
+            syms_dev = jax.lax.slice_in_dim(y_q, k * sl, (k + 1) * sl, axis=3)
+            prefix = self._dequant_k(self.params, z_q, prefix, syms_dev)
+
+            def enc_one(i, k=k, cdfs_k=cdfs_k):
+                s_k = (y_np[i, :, :, k * sl:(k + 1) * sl].ravel()
+                       - y_lo[i]).astype(np.int32)
+                return rans_encode(s_k, cdfs_k[i], row_idx, n_states)
+
+            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+                y_streams[k] = list(pool.map(enc_one, range(b)))
+
+        def enc_z(i):
+            z_sym = (z_np[i].ravel() - z_lo[i]).astype(np.int32)
+            return rans_encode(z_sym, z_cdfs[i], z_row_idx, n_states)
+
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            z_payloads = list(pool.map(enc_z, range(b)))
+
+        bounds = [(int(z_lo[i]), int(z_lo[i]) + int(lz_per[i]) - 1,
+                   int(y_lo[i]), int(y_lo[i]) + int(ly_per[i]) - 1)
+                  for i in range(b)]
+        bs = Bitstream(y_shape=(b, yh, yw, yc), z_shape=(b, zh, zw, zc),
+                       bounds=bounds, z_payloads=z_payloads,
+                       y_streams=y_streams, spatial_params=True,
+                       n_states=n_states, tail=tail)
+        data = pack_bitstream(bs)
+        per_image_bits = [
+            8 * (len(z_payloads[i]) + sum(len(st[i]) for st in y_streams))
+            for i in range(b)]
+        payload_bits = float(sum(per_image_bits))
+        return CompressResult(
+            data=data,
+            bpp=payload_bits / (b * h * w),
+            bpp_container=8.0 * len(data) / (b * h * w),
+            per_image_bits=per_image_bits)
+
+    def _decode_planes(self, bs: Bitstream):
+        n_slices = self.model.num_slices
+        if bs.n_y_streams != n_slices:
+            raise ValueError(f"bitstream has {bs.n_y_streams} y streams; "
+                             f"this model decodes {n_slices}")
+        b, yh, yw, yc = bs.y_shape
+        _, zh, zw, zc = bs.z_shape
+        sl = self.model.slice_size
+        z_lo = np.asarray([bd[0] for bd in bs.bounds], np.int32)
+        y_lo = np.asarray([bd[2] for bd in bs.bounds], np.int32)
+        lz_per = np.asarray([bd[1] - bd[0] + 1 for bd in bs.bounds], np.int32)
+        ly_per = np.asarray([bd[3] - bd[2] + 1 for bd in bs.bounds], np.int32)
+        if (max(lz_per.max(), ly_per.max()) > Codec.MAX_SUPPORT
+                or min(lz_per.min(), ly_per.min()) < 1):
+            raise ValueError("corrupt bitstream: implausible symbol range")
+
+        z_cdfs = self._z_tables(z_lo, lz_per)
+        z_row_idx = _channel_row_idx(zh, zw, zc)
+
+        def decode_z(i: int) -> np.ndarray:
+            sym = rans_decode(bs.z_payloads[i], zh * zw * zc, z_cdfs[i],
+                              z_row_idx, bs.n_states)
+            return (sym + z_lo[i]).astype(np.int16).reshape(zh, zw, zc)
+
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
+        z_dev = jnp.asarray(z_hat)
+
+        rows_k = yh * yw * sl
+        row_idx = np.arange(rows_k, dtype=np.int32)
+        y_out = np.zeros((b, yh, yw, yc), np.int16)
+        prefix = jnp.zeros((b, yh, yw, 0), jnp.float32)
+        for k in range(n_slices):
+            cdfs_k = self._slice_tables(z_dev, prefix, y_lo, ly_per, rows_k)
+
+            def dec_one(i, k=k, cdfs_k=cdfs_k):
+                sym = rans_decode(bs.y_streams[k][i], rows_k, cdfs_k[i],
+                                  row_idx, bs.n_states)
+                return (sym + y_lo[i]).astype(np.int16).reshape(yh, yw, sl)
+
+            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+                syms_k = np.stack(list(pool.map(dec_one, range(b))), axis=0)
+            y_out[..., k * sl:(k + 1) * sl] = syms_k
+            prefix = self._dequant_k(self.params, z_dev, prefix,
+                                     jnp.asarray(syms_k))
+        return y_out, z_hat
+
+
 def make_codec(model, params, cfg: CodecConfig | None = None,
                compute_dtype=None) -> Codec:
     """Model-family dispatch: the Student-t DSIC codec, the zoo's
     Gaussian-conditional codec (any model exposing the zoo codec protocol:
-    z_cdf / y_scales / decode_y), or the two-pass checkerboard codec
-    (anchor_params / nonanchor_params / decode_anchor)."""
-    if hasattr(model, "anchor_params"):
+    z_cdf / y_scales / decode_y), the two-pass checkerboard codec
+    (anchor_params / nonanchor_params / decode_anchor), or the K-pass
+    channel-conditional codec (slice_pmf_params / slice_dequant)."""
+    if hasattr(model, "slice_pmf_params"):
+        cls = ChannelCodec
+    elif hasattr(model, "anchor_params"):
         cls = CheckerboardCodec
     elif hasattr(model, "z_cdf"):
         cls = ZooCodec

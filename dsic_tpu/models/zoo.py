@@ -323,12 +323,16 @@ class MeanScaleHyperprior(nn.Module):
                 "sigma": sigma, "mu": mu}
 
 
+# imported here (not at the top) because these modules reuse the Zoo*
+# transform classes defined above
 from dsic_tpu.models.cheng import Cheng2020Checkerboard  # noqa: E402
+from dsic_tpu.models.charm import ChannelARHyperprior  # noqa: E402
 
 ZOO_FAMILIES = {
     "bmshj2018": ScaleHyperprior,
     "mbt2018_mean": MeanScaleHyperprior,
     "cheng2020_checkerboard": Cheng2020Checkerboard,
+    "charm2020": ChannelARHyperprior,
 }
 
 # cheng2020's grid: 6 qualities, y channels == N (compressai cheng2020_attn,

@@ -92,16 +92,44 @@ class FactorizedDensity(nn.Module):
         return -jnp.log(jnp.maximum(p, LIKELIHOOD_FLOOR)) * LOG2E
 
 
+@jax.custom_vjp
+def _lower_bound(x: jax.Array, bound: jax.Array) -> jax.Array:
+    return jnp.maximum(x, bound)
+
+
+def _lb_fwd(x, bound):
+    return jnp.maximum(x, bound), (x, bound)
+
+
+def _lb_bwd(res, g):
+    # compressai's LowerBound gradient: where x is clamped, still pass the
+    # cotangent if it pushes x TOWARD the valid region (g < 0 means the
+    # descent step increases x). A hard max() would zero the gradient and
+    # permanently freeze any scale initialized below the floor.
+    x, bound = res
+    pass_through = (x >= bound) | (g < 0)
+    return jnp.where(pass_through, g, 0.0), None
+
+
+_lower_bound.defvjp(_lb_fwd, _lb_bwd)
+
+
+def lower_bound(x: jax.Array, bound: float) -> jax.Array:
+    """max(x, bound) with compressai's toward-the-bound gradient."""
+    return _lower_bound(x, jnp.asarray(bound, x.dtype))
+
+
 def gaussian_bin_neg_log2_prob(x: jax.Array, sigma: jax.Array,
                                mean: jax.Array | None = None,
                                sigma_min: float = 0.11) -> jax.Array:
     """-log2 of the unit-bin probability of a Gaussian: the y-likelihood of
     the bmshj2018 Gaussian conditional, Phi((x-mu+.5)/sigma) -
     Phi((x-mu-.5)/sigma), evaluated via erfc on the folded |x| for tail
-    stability. ``sigma_min`` = compressai's SCALES_MIN lower bound."""
+    stability. ``sigma_min`` = compressai's SCALES_MIN lower bound, applied
+    with its LowerBound gradient so sub-floor scales can still learn."""
     if mean is not None:
         x = x - mean
-    sigma = jnp.maximum(sigma, sigma_min)
+    sigma = lower_bound(sigma, sigma_min)
     inv = 1.0 / (sigma * np.sqrt(2.0))
     v = jnp.abs(x)
     # p = Phi((0.5 - v)/s) - Phi((-0.5 - v)/s), Phi(t) = erfc(-t/sqrt2)/2

@@ -120,7 +120,7 @@ def test_student_rows_match_scipy_binning():
 def test_bitstream_pack_unpack():
     bs = Bitstream(y_shape=(2, 4, 4, 8), z_shape=(2, 1, 1, 6),
                    bounds=[(-5, 9, -11, 20), (-3, 3, -7, 8)],
-                   z_payloads=[b"abc", b"de"], y_payloads=[b"xyzw", b"q"],
+                   z_payloads=[b"abc", b"de"], y_streams=[[b"xyzw", b"q"]],
                    spatial_params=False, n_states=4, tail=10)
     data = pack_bitstream(bs)
     out = unpack_bitstream(data)
@@ -301,9 +301,9 @@ def test_bitstream_two_pass_pack_unpack():
     bs = Bitstream(y_shape=(2, 4, 4, 8), z_shape=(2, 1, 1, 8),
                    bounds=[(-3, 3, -9, 9), (-2, 2, -5, 5)],
                    z_payloads=[b"zz0", b"z1"],
-                   y_payloads=[b"anchor0", b"a1"],
-                   y2_payloads=[b"nonanchor0", b"na1"],
-                   spatial_params=True, two_pass=True, n_states=4, tail=10)
+                   y_streams=[[b"anchor0", b"a1"],
+                              [b"nonanchor0", b"na1"]],
+                   spatial_params=True, n_states=4, tail=10)
     data = pack_bitstream(bs)
     assert len(data) == bs.num_bytes
     out = unpack_bitstream(data)
