@@ -190,8 +190,9 @@ class Codec:
         maps never come to the host — both modes fuse hyper-decode into the
         pmf call at table-build time."""
         b, h, w, _ = x.shape
-        if h % 16 or w % 16:
-            raise ValueError("pad input to a multiple of 16 first "
+        m = getattr(self.model, "pad_multiple", 16)
+        if h % m or w % m:
+            raise ValueError(f"pad input to a multiple of {m} first "
                              "(ops.pad_to_multiple)")
         y_q, z_q = self._encode_latents(self.params, jnp.asarray(x))
         return (h, w), y_q, z_q

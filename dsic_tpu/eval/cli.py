@@ -26,6 +26,14 @@ def _cfg(args):
     overrides = {}
     if getattr(args, "spatial_params", False):
         overrides["MODEL.spatial_params"] = True
+    fam = getattr(args, "family", None)
+    if fam and fam != "dsic":
+        # route a zoo checkpoint ({family}_q{q}) through the single-ckpt
+        # commands: the right model class + preset come from the family
+        from dsic_tpu.models.zoo import zoo_quality
+        preset = zoo_quality(fam, getattr(args, "quality", None) or 1)
+        overrides.update({"MODEL.family": fam, "MODEL.N": preset["N"],
+                          "MODEL.M": preset["M"]})
     return load_config(getattr(args, "config", None), overrides)
 
 
@@ -156,12 +164,12 @@ def cmd_compare(args):
 def cmd_scene(args):
     from dsic_tpu.eval.entropy_eval import load_params
     from dsic_tpu.eval.scene import roundtrip_scene
-    from dsic_tpu.codec.api import Codec
+    from dsic_tpu.codec.api import make_codec
     from dsic_tpu.utils.image_io import load_image, save_image
     cfg = _cfg(args)
     model, params = load_params(cfg, args.ckpt)
     scene = load_image(args.image)
-    res = roundtrip_scene(Codec(model, params, cfg.CODEC), scene,
+    res = roundtrip_scene(make_codec(model, params, cfg.CODEC), scene,
                           tile=args.tile, overlap=args.overlap)
     print(f"scene {scene.shape}: {res.num_tiles} tiles, bpp={res.bpp:.4f}, "
           f"{res.num_bytes} bytes")
@@ -221,6 +229,13 @@ def main(argv=None):
         if out:
             sp.add_argument("--out", default="results")
         sp.add_argument("--spatial_params", action="store_true")
+        if ckpt:  # single-checkpoint commands accept zoo checkpoints too
+            sp.add_argument("--family", default=None,
+                            help="zoo family of --ckpt (bmshj2018, "
+                                 "mbt2018_mean, cheng2020_checkerboard, "
+                                 "charm2020); default: the dsic flagship")
+            sp.add_argument("--quality", type=int, default=None,
+                            help="zoo quality preset of --ckpt (sets N/M)")
 
     sp = sub.add_parser("rd"); common(sp, ckpt_root=True, images=True)
     sp.set_defaults(fn=cmd_rd)

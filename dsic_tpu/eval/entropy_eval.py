@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from dsic_tpu.config import Config
-from dsic_tpu.codec.api import Codec
+from dsic_tpu.codec.api import make_codec
 from dsic_tpu.models import rate_distortion_loss
 from dsic_tpu.ops.msssim import ms_ssim, psnr
 from dsic_tpu.ops.pad import pad_to_multiple, crop_to
@@ -40,7 +40,7 @@ def evaluate_array(cfg: Config, model, params, img: np.ndarray,
                    output_path: str | None = None, tail: int | None = None,
                    log_fn=print, bitstream_path: str | None = None) -> dict:
     x = jnp.asarray(img)[None]
-    x_pad, box = pad_to_multiple(x, 16)
+    x_pad, box = pad_to_multiple(x, getattr(model, "pad_multiple", 16))
     h, w = img.shape[:2]
 
     # forward estimate (eval_selfcontained_entropy.py:141-144). Both bpp
@@ -56,7 +56,7 @@ def evaluate_array(cfg: Config, model, params, img: np.ndarray,
         type(cfg.CODEC)(tail=tail, precision_bits=cfg.CODEC.precision_bits,
                         interleave=cfg.CODEC.interleave,
                         support_bucket=cfg.CODEC.support_bucket)
-    codec = Codec(model, params, codec_cfg)
+    codec = make_codec(model, params, codec_cfg)
     res = codec.compress(np.asarray(x_pad))
     # real bpp counts payload bytes over the ORIGINAL pixel count
     # (eval_selfcontained_entropy.py:148-149)

@@ -73,7 +73,8 @@ def evaluate_model_on_images(model, params, images: list[np.ndarray],
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start:start + batch_size]
             x = np.stack([images[i] for i in chunk])
-            x_pad, box = pad_to_multiple(jnp.asarray(x), 16)
+            x_pad, box = pad_to_multiple(jnp.asarray(x),
+                                         getattr(model, "pad_multiple", 16))
             x_hat_pad, bits = run(params, x_pad)
             x_hat = crop_to(x_hat_pad, box)
             mss_d, ps_d, mse_d = metrics(x_hat, jnp.asarray(x))

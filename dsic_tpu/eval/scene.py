@@ -30,7 +30,8 @@ def encode_scene(codec: Codec, scene: np.ndarray, tile: int = 256,
                  overlap: int = 16, batch: int = 16):
     """HWC scene -> (list of bitstreams, meta). Tiles are compressed in
     batches of identical shape."""
-    padded, box = pad_to_multiple(jnp.asarray(scene), 16)
+    padded, box = pad_to_multiple(jnp.asarray(scene),
+                                  getattr(codec.model, "pad_multiple", 16))
     h, w = padded.shape[0], padded.shape[1]
     tile = min(tile, h, w)
     tiles, offsets = patchify(padded, tile=tile, overlap=overlap)

@@ -10,7 +10,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dsic_tpu.codec.api import Codec
+from dsic_tpu.codec.api import make_codec
 from dsic_tpu.data.synthetic import synthetic_patches
 
 
@@ -38,7 +38,7 @@ def measure_forward(model, params, batch: int = 8, hw=(256, 256),
 def measure_codec(model, params, batch: int = 8, hw=(256, 256),
                   iters: int = 5, warmup: int = 1, cfg=None) -> dict:
     """Full real-bitstream encode+decode throughput."""
-    codec = Codec(model, params, cfg)
+    codec = make_codec(model, params, cfg)
     x = (synthetic_patches(batch, hw, seed=0) * 255 + 0.5).astype(np.uint8)
     for _ in range(warmup):
         res = codec.compress(x)

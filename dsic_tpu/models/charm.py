@@ -74,6 +74,8 @@ class SliceNet(nn.Module):
 class ChannelARHyperprior(nn.Module):
     """mbt2018 transforms + channel-conditional entropy model + LRP."""
 
+    pad_multiple = 64  # hyper branches upsample z by 4: y must be 4-divisible
+
     N: int = 128
     M: int = 192
     slice_size: int = 32

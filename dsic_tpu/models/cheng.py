@@ -228,6 +228,8 @@ class Cheng2020Checkerboard(nn.Module):
     exactly recomputable by the decoder (anchors' mu depends only on z_hat;
     non-anchors' mu only on z_hat + decoded anchors)."""
 
+    pad_multiple = 64  # h_s upsamples z by exactly 4: y must be 4-divisible
+
     N: int = 128
     M: int = 128  # cheng2020: y channels == N
     out_channels: int = 3

@@ -167,6 +167,8 @@ class ZooHyperMeanScale(nn.Module):
 class ScaleHyperprior(nn.Module):
     """bmshj2018_hyperprior, live (compressai-equivalent architecture)."""
 
+    pad_multiple = 64  # h_s upsamples z by exactly 4: y must be 4-divisible
+
     N: int = 128
     M: int = 192
     out_channels: int = 3
@@ -240,6 +242,8 @@ class ScaleHyperprior(nn.Module):
 
 class MeanScaleHyperprior(nn.Module):
     """mbt2018-mean (Minnen 2018 mean-scale hyperprior, no context model)."""
+
+    pad_multiple = 64  # h_s upsamples z by exactly 4: y must be 4-divisible
 
     N: int = 128
     M: int = 192

@@ -420,3 +420,23 @@ def test_lower_bound_gradient_escapes_floor():
     assert float(g[1]) == -1.0
     # x>= bound: identity
     assert float(g[2]) == 1.0
+
+
+def test_zoo_pad_multiple_respected():
+    """Zoo hyper-decoders upsample z by exactly 4, so inputs must pad to 64
+    (compressai's own constraint): eval pads accordingly and the codec
+    rejects under-padded input with a clear error."""
+    from dsic_tpu.codec import make_codec
+    from dsic_tpu.eval.rd_eval import evaluate_model_on_images
+
+    model = MeanScaleHyperprior(N=16, M=24)
+    assert model.pad_multiple == 64
+    x96 = np.asarray(_x(b=1, hw=96, seed=7))  # 96 is 16- but not 64-divisible
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)},
+                        jnp.asarray(_x(b=1, hw=64)))
+    rows = evaluate_model_on_images(model, params, [x96[0]])
+    assert np.isfinite(rows[0]["bpp"]) and rows[0]["bpp"] > 0
+    codec = make_codec(model, params)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        codec.compress(x96)
