@@ -22,6 +22,10 @@ def main(argv=None):
     p.add_argument("--lambda_rd", type=float, default=None)
     p.add_argument("--lambda_sweep", action="store_true",
                    help="train one checkpoint per lambda on the reference grid")
+    p.add_argument("--lambda_vmap", action="store_true",
+                   help="train ALL grid lambdas simultaneously in one "
+                        "vmapped step on one chip (train/sweep.py) instead "
+                        "of sequentially")
     p.add_argument("--family", type=str, default="dsic",
                    help="model family: dsic (default) or a live baseline "
                         "(bmshj2018, mbt2018_mean)")
@@ -51,6 +55,16 @@ def main(argv=None):
 
     if args.family != "dsic" or args.quality or args.quality_sweep:
         _train_zoo(cfg, args)
+        return
+
+    if args.lambda_vmap:
+        from dsic_tpu.train.sweep import train_sweep_vmapped
+        train_loader, val_loader = make_loaders(cfg)
+        paths = train_sweep_vmapped(cfg, LAMBDA_GRID, train_loader,
+                                    val_loader, run_name=args.run_name,
+                                    max_steps=args.max_steps)
+        for p_ in paths:
+            print(f"saved {p_}")
         return
 
     lambdas = LAMBDA_GRID if args.lambda_sweep else [cfg.LOSS.lambda_rd]

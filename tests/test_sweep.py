@@ -1,0 +1,102 @@
+"""λ-vmapped sweep (train/sweep.py): per-model math must equal the
+sequential make_train_step path, and the saved checkpoints must feed the
+standard eval suite."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dsic_tpu.config import Config, ckpt_name
+from dsic_tpu.data.synthetic import synthetic_patches
+from dsic_tpu.train.state import create_train_state, make_optimizer
+from dsic_tpu.train.steps import make_train_step
+from dsic_tpu.train.sweep import (
+    init_sweep_state, make_sweep_train_step, train_sweep_vmapped,
+    unstack_state)
+
+
+def _tiny_cfg(**over):
+    cfg = Config()
+    cfg = cfg.replace(MODEL=dataclasses.replace(cfg.MODEL, N=16, M=24),
+                      TRAIN=dataclasses.replace(cfg.TRAIN, amp=False,
+                                                epochs=1))
+    for k, v in over.items():
+        sec, field = k.split(".")
+        cfg = cfg.replace(**{sec: dataclasses.replace(getattr(cfg, sec),
+                                                      **{field: v})})
+    return cfg
+
+
+def test_vmapped_sweep_matches_sequential_per_model():
+    """3 steps of the vmapped 2-λ sweep == 3 steps of make_train_step run
+    separately per λ with the same keys, params, and batches."""
+    cfg = _tiny_cfg()
+    lambdas = [10.0, 1000.0]
+    xs = [jnp.asarray(synthetic_patches(2, (64, 64), seed=s))
+          for s in range(3)]
+
+    model, tx, stacked = init_sweep_state(cfg, lambdas,
+                                          jax.random.PRNGKey(0),
+                                          (1, 64, 64, 3))
+    sweep_step = make_sweep_train_step(model, tx, lambdas, dist="msssim",
+                                       donate=False)
+
+    # sequential runs from the SAME initial params and the SAME noise keys
+    seq_states = [unstack_state(jax.device_get(stacked), i)
+                  for i in range(2)]
+    seq_steps = [make_train_step(model, tx, lam, dist="msssim", donate=False)
+                 for lam in lambdas]
+
+    key = jax.random.PRNGKey(7)
+    seq_metrics = None
+    for x in xs:
+        key, k = jax.random.split(key)
+        stacked, metrics = sweep_step(stacked, x, k)
+        keys = jax.random.split(k, 2)  # the split the sweep step performs
+        seq_metrics = []
+        for i in range(2):
+            seq_states[i], m = seq_steps[i](seq_states[i], x, keys[i])
+            seq_metrics.append(m)
+
+    for i in range(2):
+        np.testing.assert_allclose(float(metrics["loss"][i]),
+                                   float(seq_metrics[i]["loss"]), rtol=1e-5)
+        got = unstack_state(jax.device_get(stacked), i)
+        for a, b in zip(jax.tree.leaves(got.params),
+                        jax.tree.leaves(seq_states[i].params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_vmapped_sweep_end_to_end_checkpoints(tmp_path):
+    """train_sweep_vmapped saves alpha{λ}lambda checkpoints loadable by the
+    standard eval restore path."""
+    from dsic_tpu.eval.rd_eval import evaluate_model_lambdas
+    from dsic_tpu.utils.image_io import save_image
+
+    cfg = _tiny_cfg(**{"LOGGING.ckpt_dir": str(tmp_path / "ckpts"),
+                       "LOGGING.log_every": 2, "LOGGING.val_every": 100})
+    lambdas = [10.0, 1000.0]
+    batches = [synthetic_patches(2, (64, 64), seed=s) for s in range(2)]
+    paths = train_sweep_vmapped(cfg, lambdas, batches, run_name="vsweep",
+                                max_steps=2, log_fn=lambda *_: None)
+    assert len(paths) == 2
+    assert paths[0].endswith(ckpt_name(10.0))
+    assert paths[1].endswith(ckpt_name(1000.0))
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        save_image(str(img_dir / f"im{i}.png"),
+                   rng.random((64, 64, 3)).astype(np.float32))
+    curve = evaluate_model_lambdas(cfg, os.path.dirname(paths[0]),
+                                   str(img_dir), str(tmp_path / "out"),
+                                   lambdas=lambdas, max_images=2,
+                                   make_plots=False)
+    assert len(curve["bpp"]) == 2
+    assert np.all(np.isfinite(curve["bpp"]))
