@@ -55,21 +55,45 @@ def _channel_row_idx(h: int, w: int, c: int) -> np.ndarray:
 
 class Codec:
     def __init__(self, model, params, cfg: CodecConfig | None = None,
-                 compute_dtype=None):
+                 compute_dtype=None, mesh=None):
         """compute_dtype=jnp.bfloat16 runs the conv transforms in bf16 on the
         MXU (~2x analysis throughput; the hyper path stays consistent between
         encoder and decoder by construction, so round-trips remain lossless —
         only the RD point shifts marginally). Default: the model's own dtype
-        (float32 unless trained with AMP)."""
+        (float32 unless trained with AMP).
+
+        mesh: an optional ``jax.sharding.Mesh`` with a 'data' axis. Device
+        inputs (images, decoded planes, per-image support bounds) are placed
+        batch-sharded over it, so every device-side phase — transforms, CDF
+        table builds, synthesis — runs SPMD across the mesh with ZERO
+        collectives (all codec math is per-image). This is the multi-chip
+        serving path: throughput scales with chip count while the host rANS
+        fan-out stays on the thread pool. The decodability invariant is
+        per-TOPOLOGY: encoder and decoder must use the same mesh shape (the
+        same compiled table programs), just as they must use the same
+        hardware generation — sharded and single-device compilations can
+        differ at the ulp level on deep table paths, so bitstreams are
+        topology-bound (tests/test_codec.py::test_mesh_sharded_codec_*).
+        Batch size must divide the 'data' axis size."""
         if compute_dtype is not None and compute_dtype != model.dtype:
             model = model.clone(dtype=compute_dtype)
         self.model = model
         self.params = params
         self.cfg = cfg or CodecConfig()
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
         # one CDF row per y ELEMENT (vs per channel); stored in the bitstream
         # header so decode picks the matching row index layout
         self._per_element_y = bool(getattr(model, "spatial_params", False))
         self._build_model_jits()
+
+    def _put(self, x) -> jax.Array:
+        """Host array -> device, batch-sharded over the mesh if configured."""
+        if self._batch_sharding is None:
+            return jnp.asarray(x)
+        return jax.device_put(jnp.asarray(x), self._batch_sharding)
 
     def _build_model_jits(self):
         """Model-family-specific jitted entry points (overridden by ZooCodec
@@ -194,7 +218,7 @@ class Codec:
         if h % m or w % m:
             raise ValueError(f"pad input to a multiple of {m} first "
                              "(ops.pad_to_multiple)")
-        y_q, z_q = self._encode_latents(self.params, jnp.asarray(x))
+        y_q, z_q = self._encode_latents(self.params, self._put(x))
         return (h, w), y_q, z_q
 
     def _y_tables_fused(self, z_dev, y_lo: np.ndarray, l_per: np.ndarray,
@@ -209,9 +233,11 @@ class Codec:
         rows = (latent_hw[0] * latent_hw[1] * self.model.M if spatial
                 else self.model.M)
         chunk = max(1, int(256e6 / max(1, rows * L_pad * 4)))
+        if self._batch_sharding is not None:
+            chunk = b  # keep the batch-sharded layout intact
         pmfs = []
         for i in range(0, b, chunk):
-            lo_dev = jnp.asarray(y_lo[i:i + chunk], jnp.int32)
+            lo_dev = self._put(np.asarray(y_lo[i:i + chunk], np.int32))
             if spatial:
                 pmfs.append(np.asarray(self._y_pmf_from_z_spatial(
                     self.params, z_dev[i:i + chunk], lo_dev, L_pad,
@@ -299,7 +325,7 @@ class Codec:
         # Batched fused hyper-decode + pmf over all images — the exact call
         # the encoder made on identically-shaped inputs, so (sigma, nu) and
         # thus the y CDF tables match bitwise.
-        y_cdfs = self._y_tables_fused(jnp.asarray(z_hat), y_lo, ly_per,
+        y_cdfs = self._y_tables_fused(self._put(z_hat), y_lo, ly_per,
                                       (yh, yw))
         y_row_idx = (np.arange(yh * yw * yc, dtype=np.int32)
                      if bs.spatial_params else _channel_row_idx(yh, yw, yc))
@@ -340,17 +366,17 @@ class Codec:
         bs = unpack_bitstream(data)
         y_hat, z_hat = self._decode_planes(bs)
         if quantize_output:
-            u8 = self._synthesize_u8(self.params, jnp.asarray(y_hat),
-                                     jnp.asarray(z_hat))
+            u8 = self._synthesize_u8(self.params, self._put(y_hat),
+                                     self._put(z_hat))
             return np.asarray(u8).astype(np.float32) / 255.0
-        x_hat = self._synthesize(self.params, jnp.asarray(y_hat),
-                                 jnp.asarray(z_hat))
+        x_hat = self._synthesize(self.params, self._put(y_hat),
+                                 self._put(z_hat))
         return np.asarray(jnp.clip(x_hat, 0.0, 1.0))
 
     # --- introspection (round-trip tests) ----------------------------------
 
     def latents(self, x: np.ndarray):
-        y_q, z_q = self._encode_latents(self.params, jnp.asarray(x))
+        y_q, z_q = self._encode_latents(self.params, self._put(x))
         return np.asarray(y_q), np.asarray(z_q)
 
     def decoded_latents(self, data: bytes):
@@ -497,9 +523,11 @@ class CheckerboardCodec(ZooCodec):
         L_pad = int(l_per.max())
         rows = int(sel_dev.shape[0])
         chunk = max(1, int(256e6 / max(1, rows * L_pad * 4)))
+        if self._batch_sharding is not None:
+            chunk = b
         pmfs = []
         for i in range(0, b, chunk):
-            lo_dev = jnp.asarray(y_lo[i:i + chunk], jnp.int32)
+            lo_dev = self._put(np.asarray(y_lo[i:i + chunk], np.int32))
             sliced = [a[i:i + chunk] for a in args]
             pmfs.append(np.asarray(
                 pmf_fn(self.params, *sliced, lo_dev, L_pad, sel_dev)))
@@ -527,7 +555,7 @@ class CheckerboardCodec(ZooCodec):
         # decoder's scatter of the decoded anchor stream
         y_anchor_only = np.asarray(y_q).copy()
         y_anchor_only.reshape(b, -1)[:, na_idx] = 0
-        y_anchor_dev = jnp.asarray(y_anchor_only)
+        y_anchor_dev = self._put(y_anchor_only)
 
         y_cdfs_a = self._pass_tables(self._y_pmf_pass1, (z_q,),
                                      y_lo, ly_per, a_sel)
@@ -592,7 +620,7 @@ class CheckerboardCodec(ZooCodec):
 
         with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
             z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
-        z_dev = jnp.asarray(z_hat)
+        z_dev = self._put(z_hat)
 
         a_idx, na_idx = self._split_idx(yh, yw, yc)
         a_sel = jnp.asarray(a_idx, jnp.int32)
@@ -615,7 +643,7 @@ class CheckerboardCodec(ZooCodec):
         y_flat = np.zeros((b, yh * yw * yc), np.int16)
         for i in range(b):
             y_flat[i, a_idx] = a_syms[i]
-        y_anchor_dev = jnp.asarray(y_flat.reshape(b, yh, yw, yc))
+        y_anchor_dev = self._put(y_flat.reshape(b, yh, yw, yc))
 
         # pass 2: non-anchors under context tables from the decoded anchors
         y_cdfs_na = self._pass_tables(self._y_pmf_pass2,
@@ -670,9 +698,11 @@ class ChannelCodec(ZooCodec):
         b = int(z_dev.shape[0])
         L_pad = int(l_per.max())
         chunk = max(1, int(256e6 / max(1, rows * L_pad * 4)))
+        if self._batch_sharding is not None:
+            chunk = b
         pmfs = []
         for i in range(0, b, chunk):
-            lo_dev = jnp.asarray(y_lo[i:i + chunk], jnp.int32)
+            lo_dev = self._put(np.asarray(y_lo[i:i + chunk], np.int32))
             pmfs.append(np.asarray(self._pmf_k(
                 self.params, z_dev[i:i + chunk], prefix_dev[i:i + chunk],
                 lo_dev, L_pad)))
@@ -699,7 +729,7 @@ class ChannelCodec(ZooCodec):
 
         z_payloads = []
         y_streams: list = [[] for _ in range(n_slices)]
-        prefix = jnp.zeros((b, yh, yw, 0), jnp.float32)
+        prefix = self._put(np.zeros((b, yh, yw, 0), np.float32))
         for k in range(n_slices):
             cdfs_k = self._slice_tables(z_q, prefix, y_lo, ly_per, rows_k)
             syms_dev = jax.lax.slice_in_dim(y_q, k * sl, (k + 1) * sl, axis=3)
@@ -764,12 +794,12 @@ class ChannelCodec(ZooCodec):
 
         with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
             z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
-        z_dev = jnp.asarray(z_hat)
+        z_dev = self._put(z_hat)
 
         rows_k = yh * yw * sl
         row_idx = np.arange(rows_k, dtype=np.int32)
         y_out = np.zeros((b, yh, yw, yc), np.int16)
-        prefix = jnp.zeros((b, yh, yw, 0), jnp.float32)
+        prefix = self._put(np.zeros((b, yh, yw, 0), np.float32))
         for k in range(n_slices):
             cdfs_k = self._slice_tables(z_dev, prefix, y_lo, ly_per, rows_k)
 
@@ -782,12 +812,12 @@ class ChannelCodec(ZooCodec):
                 syms_k = np.stack(list(pool.map(dec_one, range(b))), axis=0)
             y_out[..., k * sl:(k + 1) * sl] = syms_k
             prefix = self._dequant_k(self.params, z_dev, prefix,
-                                     jnp.asarray(syms_k))
+                                     self._put(syms_k))
         return y_out, z_hat
 
 
 def make_codec(model, params, cfg: CodecConfig | None = None,
-               compute_dtype=None) -> Codec:
+               compute_dtype=None, mesh=None) -> Codec:
     """Model-family dispatch: the Student-t DSIC codec, the zoo's
     Gaussian-conditional codec (any model exposing the zoo codec protocol:
     z_cdf / y_scales / decode_y), the two-pass checkerboard codec
@@ -801,4 +831,4 @@ def make_codec(model, params, cfg: CodecConfig | None = None,
         cls = ZooCodec
     else:
         cls = Codec
-    return cls(model, params, cfg, compute_dtype)
+    return cls(model, params, cfg, compute_dtype, mesh=mesh)

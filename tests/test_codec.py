@@ -312,3 +312,49 @@ def test_bitstream_two_pass_pack_unpack():
     assert out.y_payloads == [b"anchor0", b"a1"]
     assert out.z_payloads == [b"zz0", b"z1"]
     assert out.bounds == [(-3, 3, -9, 9), (-2, 2, -5, 5)]
+
+
+@pytest.mark.parametrize("family", ["dsic", "mbt2018_mean",
+                                    "cheng2020_checkerboard", "charm2020"])
+def test_mesh_sharded_codec_roundtrip(family):
+    """Codec(mesh=...) batch-shards every device phase over the 'data' axis
+    (the multi-chip serving path, zero collectives). The decodability
+    invariant is per-TOPOLOGY: a mesh codec must round-trip losslessly with
+    itself (tables rebuilt through the same sharded jits on both sides).
+    Bitstreams are topology-bound in general — sharded compilation can
+    differ from single-device compilation at the ulp level on deep table
+    paths — exactly like the existing same-hardware assumption; the sharded
+    symbols still match the single-device symbols (integer rounding of the
+    same math)."""
+    import jax
+    from dsic_tpu.codec import make_codec
+    from dsic_tpu.models import CompressionModel
+    from dsic_tpu.models.zoo import ZOO_FAMILIES
+    from dsic_tpu.parallel.mesh import make_mesh
+    from dsic_tpu.data.synthetic import synthetic_patches
+
+    if family == "dsic":
+        model = CompressionModel(N=16, M=24)
+    elif family == "charm2020":
+        model = ZOO_FAMILIES[family](N=16, M=32)
+    else:
+        model = ZOO_FAMILIES[family](N=16, M=24)
+    x = np.asarray(synthetic_patches(8, (64, 64), seed=2))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)},
+                        jnp.asarray(x[:1]))
+
+    plain = make_codec(model, params)
+    sharded = make_codec(model, params, mesh=make_mesh(8, 1))
+
+    res_s = sharded.compress(x)
+    assert res_s.bpp > 0
+    y_q, z_q = sharded.latents(x)
+    y_hat, z_hat = sharded.decoded_latents(res_s.data)
+    np.testing.assert_array_equal(y_hat, np.asarray(y_q))
+    np.testing.assert_array_equal(z_hat, np.asarray(z_q))
+
+    # sharded forward produces the same integer symbols as single-device
+    y_p, z_p = plain.latents(x)
+    np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_p))
+    np.testing.assert_array_equal(np.asarray(z_q), np.asarray(z_p))
