@@ -59,7 +59,7 @@ state, _ = restore_checkpoint(
     os.path.join(ckpt_root, zoo_ckpt_name("cheng2020_checkerboard", q)),
     template)
 paths = sorted(glob.glob(os.path.join(eval_dir, "*.png")))[:8]
-imgs = np.stack([load_image_u8(p)[:112, :112] for p in paths])
+imgs = np.stack([load_image_u8(p)[: 64, : 64] for p in paths])
 codec = make_codec(model, state.params)
 assert isinstance(codec, CheckerboardCodec)
 res = codec.compress(imgs)
@@ -69,7 +69,7 @@ assert np.array_equal(y_q, y_hat) and np.array_equal(z_q, z_hat)
 x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
 out = model.apply(state.params, x, quant_mode="round", train=False)
 est = float((jnp.sum(out["nll_y"]) + jnp.sum(out["nll_z"]))
-            / (imgs.shape[0] * 112 * 112))
+            / (imgs.shape[0] *  64 *  64))
 line = (f"cheng q{q} two-pass codec: LOSSLESS, est {est:.4f} bpp, "
         f"real {res.bpp:.4f} bpp ({100*abs(res.bpp-est)/est:.2f}% gap)")
 print(line)
