@@ -358,3 +358,41 @@ def test_mesh_sharded_codec_roundtrip(family):
     y_p, z_p = plain.latents(x)
     np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_p))
     np.testing.assert_array_equal(np.asarray(z_q), np.asarray(z_p))
+
+
+@pytest.mark.parametrize("family", ["cheng2020_checkerboard", "charm2020"])
+def test_multipass_bitstream_corruption_rejected(family):
+    """Multi-pass codecs must fail cleanly (ValueError), not crash or hang,
+    on truncated containers, corrupted bounds, and a stream-count mismatch."""
+    import jax
+    from dsic_tpu.codec import make_codec
+    from dsic_tpu.codec.bitstream import unpack_bitstream, pack_bitstream
+    from dsic_tpu.models.zoo import ZOO_FAMILIES
+    from dsic_tpu.data.synthetic import synthetic_patches
+
+    if family == "charm2020":
+        model = ZOO_FAMILIES[family](N=16, M=32, slice_size=16)  # 2 slices
+    else:
+        model = ZOO_FAMILIES[family](N=16, M=16)
+    x = np.asarray(synthetic_patches(2, (64, 64), seed=3))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)},
+                        jnp.asarray(x[:1]))
+    codec = make_codec(model, params)
+    data = codec.compress(x).data
+
+    for cut in (8, len(data) // 3, len(data) - 2):
+        with pytest.raises(ValueError):
+            codec.decompress(data[:cut])
+
+    # corrupt the y bounds into an implausible range
+    bs = unpack_bitstream(data)
+    bs.bounds[0] = (bs.bounds[0][0], bs.bounds[0][1], -50000, 50000)
+    with pytest.raises(ValueError, match="implausible|range"):
+        codec.decompress(pack_bitstream(bs))
+
+    # wrong stream count for the model
+    bs2 = unpack_bitstream(data)
+    bs2.y_streams = bs2.y_streams[:1]
+    with pytest.raises(ValueError):
+        codec.decompress(pack_bitstream(bs2))
