@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from dsic_tpu.config import CodecConfig
 from dsic_tpu.codec.bitstream import Bitstream, pack_bitstream, unpack_bitstream
 from dsic_tpu.codec.cdf import (
-    gaussian_bin_probs, gaussian_cdf_rows_batch, pad_support,
+    gaussian_bin_probs, gaussian_cdf_rows_batch, gmm_bin_probs, pad_support,
     student_t_bin_probs, quantize_pmf_to_cdf)
 from dsic_tpu.codec.rans import rans_encode, rans_decode
 
@@ -483,15 +483,34 @@ class CheckerboardCodec(ZooCodec):
         self._build_zoo_common_jits()
         self._y_pmf_from_z = None
         self._y_pmf_from_z_spatial = None  # replaced by the two pass builders
+        gmm = bool(getattr(model, "mixtures", 0))
+
+        def _rows_from_params(params, sel, lo, L_pad):
+            """(sigma, mu) or (w_logits, mu, sigma) -> selected-row pmf.
+            GMM params carry a (..., K, M) component layout; rows must
+            follow NHWC element order, so move K in front of (h, w, M)."""
+            if not gmm:
+                sigma = params[0]
+                rows = jnp.maximum(sigma.reshape(sigma.shape[0], -1)[:, sel],
+                                   self.SIGMA_MIN)
+                return gaussian_bin_probs(rows, lo, L_pad)
+            w_l, mu, sigma = params
+
+            def to_rows(t):  # (B,h,w,K,M) -> (B,K,R)[:, :, sel]
+                b = t.shape[0]
+                t = jnp.moveaxis(t, 3, 1).reshape(b, t.shape[3], -1)
+                return t[:, :, sel]
+
+            return gmm_bin_probs(to_rows(w_l), to_rows(mu),
+                                 jnp.maximum(to_rows(sigma), self.SIGMA_MIN),
+                                 lo, L_pad)
 
         def _pmf1(p, z, lo, L_pad, sel):
-            """anchor-pass tables: sigma from the hyperprior only; row
+            """anchor-pass tables: params from the hyperprior only; row
             selection happens ON DEVICE (halves pmf compute + transfer)."""
-            sigma, _ = model.apply(p, z.astype(jnp.float32),
-                                   method=model.anchor_params)
-            rows = jnp.maximum(sigma.reshape(sigma.shape[0], -1)[:, sel],
-                               self.SIGMA_MIN)
-            return gaussian_bin_probs(rows, lo, L_pad)
+            params = model.apply(p, z.astype(jnp.float32),
+                                 method=model.anchor_params)
+            return _rows_from_params(params, sel, lo, L_pad)
 
         def _pmf2(p, z, y_sym_anchor, lo, L_pad, sel):
             """non-anchor-pass tables, fused: anchor dequant -> context conv
@@ -499,11 +518,9 @@ class CheckerboardCodec(ZooCodec):
             z = z.astype(jnp.float32)
             y_anchor_hat = model.apply(p, y_sym_anchor, z,
                                        method=model.decode_anchor)
-            sigma, _ = model.apply(p, z, y_anchor_hat,
-                                   method=model.nonanchor_params)
-            rows = jnp.maximum(sigma.reshape(sigma.shape[0], -1)[:, sel],
-                               self.SIGMA_MIN)
-            return gaussian_bin_probs(rows, lo, L_pad)
+            params = model.apply(p, z, y_anchor_hat,
+                                 method=model.nonanchor_params)
+            return _rows_from_params(params, sel, lo, L_pad)
 
         self._y_pmf_pass1 = jax.jit(_pmf1, static_argnums=(3,))
         self._y_pmf_pass2 = jax.jit(_pmf2, static_argnums=(4,))

@@ -95,6 +95,25 @@ def gaussian_bin_probs(sigma: jax.Array, lo: jax.Array,
     return jnp.clip(fu - fl, PMF_FLOOR, 1.0)
 
 
+def gmm_bin_probs(w_logits: jax.Array, mu: jax.Array, sigma: jax.Array,
+                  lo: jax.Array, L_pad: int) -> jax.Array:
+    """Traceable K-component Gaussian-mixture bin probabilities for the
+    cheng2020 GMM head: (G, K, R) per-row component params + (G,) lo ->
+    (G, R, L_pad). Symbols are round(y) coded directly (no mean-residual:
+    a mixture has no single recentering mean)."""
+    from dsic_tpu.ops.distributions import std_gaussian_cdf
+    w = jax.nn.softmax(w_logits, axis=1)
+    support = (lo[:, None].astype(jnp.float32)
+               + jnp.arange(L_pad, dtype=jnp.float32)[None, :])
+    # (G, K, R, L)
+    x = support[:, None, None, :] - mu[:, :, :, None]
+    inv = 1.0 / sigma[:, :, :, None]
+    p_k = (std_gaussian_cdf((x + 0.5) * inv)
+           - std_gaussian_cdf((x - 0.5) * inv))
+    p = jnp.einsum("gkrl,gkr->grl", p_k, w)
+    return jnp.clip(p, PMF_FLOOR, 1.0)
+
+
 def gaussian_cdf_rows_batch(sigma: np.ndarray, lo: np.ndarray, L: int,
                             bucket: int = 64) -> np.ndarray:
     """Batched integer CDF rows: (G, R) sigma, (G,) per-group lo, shared

@@ -233,6 +233,10 @@ class Cheng2020Checkerboard(nn.Module):
     N: int = 128
     M: int = 128  # cheng2020: y channels == N
     out_channels: int = 3
+    # mixtures=0: mean-scale Gaussian conditional (mean-residual symbols).
+    # mixtures=K>0: K-component Gaussian mixture — cheng2020's actual
+    # entropy model (K=3 there); symbols are round(y) coded directly.
+    mixtures: int = 0
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -245,18 +249,26 @@ class Cheng2020Checkerboard(nn.Module):
         # latents (He 2021's masked conv — zeroing non-anchors makes the
         # plain conv see only anchors at non-anchor positions)
         self.ctx = conv(self.N * 2, 5, 1, dtype=self.dtype, name="ctx")
-        # entropy-parameter aggregator: 1x1 convs over [Psi, Phi] (4N) -> 2N
+        # entropy-parameter aggregator: 1x1 convs over [Psi, Phi] (4N) ->
+        # 2N (mean-scale) or 3*K*N (GMM weights/means/scales)
+        out = self.N * 2 if not self.mixtures else 3 * self.mixtures * self.N
         self.ep_0 = conv(self.N * 3, 1, 1, dtype=self.dtype, name="ep_0")
-        self.ep_1 = conv(self.N * 2, 1, 1, dtype=self.dtype, name="ep_1")
+        self.ep_1 = conv(out, 1, 1, dtype=self.dtype, name="ep_1")
 
     # --- entropy-parameter pieces -------------------------------------------
 
     def _entropy_params(self, psi: jax.Array, phi: jax.Array):
+        """mean-scale: (sigma, mu); GMM: (w_logits, mu, sigma) each with a
+        trailing (K, M) component layout."""
         t = jnp.concatenate([psi, phi], axis=-1)
         t = nn.leaky_relu(self.ep_0(t))
-        t = self.ep_1(t)
-        sigma, mu = jnp.split(t.astype(jnp.float32), 2, axis=-1)
-        return sigma, mu
+        t = self.ep_1(t).astype(jnp.float32)
+        if not self.mixtures:
+            sigma, mu = jnp.split(t, 2, axis=-1)
+            return sigma, mu
+        k = self.mixtures
+        t = t.reshape(*t.shape[:-1], 3, k, self.M)
+        return t[..., 0, :, :], t[..., 1, :, :], t[..., 2, :, :]
 
     def _psi(self, z_hat: jax.Array) -> jax.Array:
         return self.h_s(z_hat)
@@ -280,35 +292,44 @@ class Cheng2020Checkerboard(nn.Module):
         return self.z_prior.cdf(t)
 
     def encode_latents_i16(self, x: jax.Array):
-        """uint8/float image -> (y residual symbols int16, z symbols int16).
-        Anchor cells hold round(y - mu_anchor); non-anchor cells hold
-        round(y - mu_nonanchor) with the context computed from the SAME
-        dequantized anchors the decoder will reconstruct."""
+        """uint8/float image -> (y symbols int16, z symbols int16).
+
+        mean-scale: anchor cells hold round(y - mu_anchor), non-anchor cells
+        round(y - mu_nonanchor), with the context computed from the SAME
+        dequantized anchors the decoder will reconstruct. GMM: round(y)
+        directly (a mixture has no recentering mean)."""
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) * (1.0 / 255.0)
         y = self.g_a(x).astype(jnp.float32)
         z = self.h_a(y)
         z_q = jnp.round(z)
-        mask = checkerboard_mask(y.shape[1], y.shape[2])
-        _, mu_a = self.anchor_params(z_q)
-        s_a = jnp.round(y - mu_a)
-        y_anchor_hat = mask * (s_a + mu_a)
-        _, mu_na = self.nonanchor_params(z_q, y_anchor_hat)
-        s = mask * s_a + (1.0 - mask) * jnp.round(y - mu_na)
         lim = 30000.0
+        if self.mixtures:
+            s = jnp.round(y)
+        else:
+            mask = checkerboard_mask(y.shape[1], y.shape[2])
+            _, mu_a = self.anchor_params(z_q)
+            s_a = jnp.round(y - mu_a)
+            y_anchor_hat = mask * (s_a + mu_a)
+            _, mu_na = self.nonanchor_params(z_q, y_anchor_hat)
+            s = mask * s_a + (1.0 - mask) * jnp.round(y - mu_na)
         return (jnp.clip(s, -lim, lim).astype(jnp.int16),
                 jnp.clip(z_q, -lim, lim).astype(jnp.int16))
 
     def decode_anchor(self, y_sym: jax.Array, z_hat: jax.Array) -> jax.Array:
-        """Pass-1 decode: anchor residual symbols -> y with anchors filled
-        (zeros at non-anchors), the context conv's input."""
-        _, mu_a = self.anchor_params(z_hat)
+        """Pass-1 decode: anchor symbols -> y with anchors filled (zeros at
+        non-anchors), the context conv's input."""
         mask = checkerboard_mask(y_sym.shape[1], y_sym.shape[2])
+        if self.mixtures:
+            return mask * y_sym.astype(jnp.float32)
+        _, mu_a = self.anchor_params(z_hat)
         return mask * (y_sym.astype(jnp.float32) + mu_a)
 
     def decode_y(self, y_sym: jax.Array, z_hat: jax.Array) -> jax.Array:
         """Full two-pass dequantization (also the ZooCodec-protocol entry
-        point used by synthesis): residual symbols -> y_hat."""
+        point used by synthesis): symbols -> y_hat."""
+        if self.mixtures:
+            return y_sym.astype(jnp.float32)
         y_anchor_hat = self.decode_anchor(y_sym, z_hat.astype(jnp.float32))
         _, mu_na = self.nonanchor_params(z_hat.astype(jnp.float32),
                                          y_anchor_hat)
@@ -340,6 +361,22 @@ class Cheng2020Checkerboard(nn.Module):
         # (the decode-time input, keeping train/test context consistent)
         yf = y.astype(jnp.float32)
         mask = checkerboard_mask(y.shape[1], y.shape[2])
+        if self.mixtures:
+            from dsic_tpu.ops.entropy_bottleneck import gmm_bin_neg_log2_prob
+            w_a, mu_a, sg_a = self.anchor_params(z_tilde)
+            y_anchor_hat = mask * ste_round(yf)
+            w_na, mu_na, sg_na = self.nonanchor_params(z_tilde, y_anchor_hat)
+            mk = mask[..., None, :]  # broadcast over the component axis
+            w = mk * w_a + (1.0 - mk) * w_na
+            mu = mk * mu_a + (1.0 - mk) * mu_na
+            sigma = mk * sg_a + (1.0 - mk) * sg_na
+            nll_y = gmm_bin_neg_log2_prob(y_tilde.astype(jnp.float32),
+                                          w, mu, sigma)
+            y_hat = y_tilde if train else ste_round(yf)
+            x_hat = self.g_s(y_hat.astype(y.dtype))
+            return {"x_hat": x_hat, "nll_y": nll_y, "nll_z": nll_z,
+                    "y": y, "y_tilde": y_tilde, "z": z, "z_tilde": z_tilde,
+                    "sigma": sigma, "mu": mu}
         sigma_a, mu_a = self.anchor_params(z_tilde)
         y_anchor_hat = mask * (ste_round(yf - mu_a) + mu_a)
         sigma_na, mu_na = self.nonanchor_params(z_tilde, y_anchor_hat)

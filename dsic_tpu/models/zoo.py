@@ -332,10 +332,15 @@ class MeanScaleHyperprior(nn.Module):
 from dsic_tpu.models.cheng import Cheng2020Checkerboard  # noqa: E402
 from dsic_tpu.models.charm import ChannelARHyperprior  # noqa: E402
 
+import functools  # noqa: E402
+
 ZOO_FAMILIES = {
     "bmshj2018": ScaleHyperprior,
     "mbt2018_mean": MeanScaleHyperprior,
     "cheng2020_checkerboard": Cheng2020Checkerboard,
+    # cheng2020's actual K=3 Gaussian-mixture head on the same
+    # checkerboard-context transforms (models/cheng.py mixtures)
+    "cheng2020_gmm": functools.partial(Cheng2020Checkerboard, mixtures=3),
     "charm2020": ChannelARHyperprior,
 }
 
@@ -353,7 +358,7 @@ CHENG_QUALITY = {
 
 def zoo_quality(family: str, quality: int) -> dict:
     """Family-aware quality preset (cheng has its own 6-point N=M grid)."""
-    table = (CHENG_QUALITY if family == "cheng2020_checkerboard"
+    table = (CHENG_QUALITY if family.startswith("cheng2020")
              else ZOO_QUALITY)
     if quality not in table:
         raise ValueError(f"{family} quality must be in "
@@ -363,7 +368,7 @@ def zoo_quality(family: str, quality: int) -> dict:
 
 def zoo_qualities(family: str) -> list[int]:
     """The family's full quality grid (8 for the hyperpriors, 6 for cheng)."""
-    return sorted(CHENG_QUALITY if family == "cheng2020_checkerboard"
+    return sorted(CHENG_QUALITY if family.startswith("cheng2020")
                   else ZOO_QUALITY)
 
 

@@ -119,6 +119,23 @@ def lower_bound(x: jax.Array, bound: float) -> jax.Array:
     return _lower_bound(x, jnp.asarray(bound, x.dtype))
 
 
+def gmm_bin_neg_log2_prob(x: jax.Array, w_logits: jax.Array, mu: jax.Array,
+                          sigma: jax.Array,
+                          sigma_min: float = 0.11) -> jax.Array:
+    """-log2 of the unit-bin probability of a K-component Gaussian mixture
+    (cheng2020's entropy model; K=3 there). x: (..., M); w_logits/mu/sigma:
+    (..., K, M). Per component the bin mass uses the same folded-erfc form
+    as the single Gaussian (each component is symmetric around its mean)."""
+    w = jax.nn.softmax(w_logits, axis=-2)
+    sigma = lower_bound(sigma, sigma_min)
+    v = jnp.abs(x[..., None, :] - mu)
+    inv = 1.0 / (sigma * np.sqrt(2.0))
+    p_k = (0.5 * jax.lax.erfc((v - 0.5) * inv)
+           - 0.5 * jax.lax.erfc((v + 0.5) * inv))
+    p = jnp.sum(w * p_k, axis=-2)
+    return -jnp.log(jnp.maximum(p, LIKELIHOOD_FLOOR)) * LOG2E
+
+
 def gaussian_bin_neg_log2_prob(x: jax.Array, sigma: jax.Array,
                                mean: jax.Array | None = None,
                                sigma_min: float = 0.11) -> jax.Array:

@@ -440,3 +440,69 @@ def test_zoo_pad_multiple_respected():
     codec = make_codec(model, params)
     with pytest.raises(ValueError, match="multiple of 64"):
         codec.compress(x96)
+
+
+# --- cheng2020 GMM head (mixtures=3) ----------------------------------------
+
+def test_gmm_bin_probabilities_sum_to_one():
+    from dsic_tpu.ops.entropy_bottleneck import gmm_bin_neg_log2_prob
+    # 2 channels, K=3 components each
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (3, 2))
+    mu = jnp.asarray([[-4.0, 2.0], [0.0, 5.0], [3.0, -1.0]])
+    sigma = jnp.asarray([[0.4, 1.0], [2.0, 0.7], [1.0, 3.0]])
+    ints = jnp.arange(-80, 81, dtype=jnp.float32)
+    x = jnp.broadcast_to(ints[:, None], (161, 2))
+    nll = gmm_bin_neg_log2_prob(x, w, mu, sigma)
+    total = np.asarray(jnp.sum(2.0 ** (-nll), axis=0))
+    np.testing.assert_allclose(total, 1.0, atol=1e-3)
+
+    # the traceable codec table builder integrates the same mixture
+    from dsic_tpu.codec.cdf import gmm_bin_probs
+    pmf = gmm_bin_probs(w[None], mu[None], jnp.maximum(sigma, 0.11)[None],
+                        jnp.asarray([-80]), 161)
+    np.testing.assert_allclose(np.asarray(pmf.sum(axis=-1))[0], 1.0,
+                               atol=1e-3)
+
+
+def test_cheng_gmm_codec_roundtrip_and_gradients():
+    """GMM mode: symbols are round(y) under two-pass mixture tables —
+    lossless round trip, recon == eval forward (CPU), gradients reach the
+    mixture head."""
+    from dsic_tpu.codec import make_codec, CheckerboardCodec
+    from dsic_tpu.models.cheng import Cheng2020Checkerboard
+
+    model = Cheng2020Checkerboard(N=16, M=16, mixtures=3)
+    x = _x(b=2, hw=64, seed=9)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, x)
+    codec = make_codec(model, params)
+    assert isinstance(codec, CheckerboardCodec)
+
+    xin = np.asarray(x)
+    res = codec.compress(xin)
+    y_q, z_q = codec.latents(xin)
+    y_hat, z_hat = codec.decoded_latents(res.data)
+    np.testing.assert_array_equal(y_hat, y_q)
+    np.testing.assert_array_equal(z_hat, z_q)
+    x_rec = codec.decompress(res.data, quantize_output=False)
+    out = model.apply(params, x, quant_mode="round", train=False)
+    np.testing.assert_allclose(x_rec, np.asarray(jnp.clip(out["x_hat"], 0, 1)),
+                               atol=1e-5)
+
+    def loss_fn(p):
+        o = model.apply(p, x, quant_mode="noise", train=True,
+                        rngs={"noise": jax.random.PRNGKey(2)})
+        loss, _, _ = rate_distortion_loss(o, x, lambda_rd=100.0, dist="mse")
+        return loss
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g["params"]["ep_1"])
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_cheng_gmm_zoo_registry():
+    model, lam = build_zoo_model("cheng2020_gmm", 1)
+    assert model.mixtures == 3 and model.N == model.M == 128
+    from dsic_tpu.models.zoo import zoo_qualities
+    assert zoo_qualities("cheng2020_gmm") == [1, 2, 3, 4, 5, 6]
