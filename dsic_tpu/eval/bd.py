@@ -99,7 +99,17 @@ def bd_metrics(model_curve: dict, baseline_curve: dict) -> dict:
     """Curves are dicts with 'bpp', 'psnr', 'msssim' arrays. Returns the
     reference's bd_metrics_summary schema
     (batch_bd_results_jpeg/bd_metrics_summary_jpeg.csv header):
-    bd_rate_psnr_pct, bd_psnr_db, bd_rate_mss_pct, bd_mss_diff."""
+    bd_rate_psnr_pct, bd_psnr_db, bd_rate_mss_pct, bd_mss_diff.
+
+    Degenerate curves (< 2 points on either side — e.g. a partially-trained
+    quality sweep) yield NaN metrics instead of a PCHIP crash, matching the
+    reference's posture for its single-point cheng comparison
+    (bd_summary_selected_vs_cheng.csv: NaN)."""
+    import numpy as np
+    if (len(np.atleast_1d(model_curve["bpp"])) < 2
+            or len(np.atleast_1d(baseline_curve["bpp"])) < 2):
+        return {"bd_rate_psnr_pct": float("nan"), "bd_psnr_db": float("nan"),
+                "bd_rate_mss_pct": float("nan"), "bd_mss_diff": float("nan")}
     out = {}
     out["bd_rate_psnr_pct"] = bd_rate(model_curve["bpp"], model_curve["psnr"],
                                       baseline_curve["bpp"],

@@ -98,6 +98,7 @@ def cmd_bd(args):
     # model-vs-baseline comparison the reference runs through compressai
     # (writeupbdcurvesballeALL.py). Produces bd_metrics_summary_{family}_live
     # + the balle-style overlay plots.
+    live_curves = {}
     for family in (args.live.split(",") if args.live else []):
         base = evaluate_zoo_qualities(cfg, args.ckpt_root, args.images,
                                       args.out, family=family,
@@ -105,14 +106,16 @@ def cmd_bd(args):
         if not len(base.get("quality", [])):
             print(f"[bd] WARN: no {family} checkpoints found; skipping")
             continue
+        live_curves[family] = base
         m = bd_metrics(curve, base)
         with CsvLogger(os.path.join(
                 args.out, f"bd_metrics_summary_{family}_live.csv"),
                 list(m.keys())) as csv:
             csv.log(**m)
         print(f"{family} (live)", {k: round(v, 4) for k, v in m.items()})
-        plot_rd_curves(curve, args.out, label="model",
-                       baselines={family: base})
+    if live_curves:
+        # one overlay with every live family (balle-style RD comparison)
+        plot_rd_curves(curve, args.out, label="model", baselines=live_curves)
 
 
 def cmd_compare(args):

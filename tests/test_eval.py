@@ -106,3 +106,17 @@ def test_compare_process_single_image(tmp_path):
     assert row["jpeg_quality"] >= 1
     text = (tmp_path / "bpp_equiv_summary.csv").read_text()
     assert "model_ms-ssim" in text and "jpeg_bpp" in text
+
+
+def test_bd_metrics_degenerate_curves_yield_nan():
+    """<2-point curves (partially-trained sweeps) must give NaN metrics,
+    not a PCHIP crash — the reference's own posture for its single-point
+    cheng comparison."""
+    import numpy as np
+    from dsic_tpu.eval.bd import bd_metrics
+    two = {"bpp": np.array([0.5, 1.0]), "psnr": np.array([30.0, 33.0]),
+           "msssim": np.array([0.9, 0.95])}
+    one = {"bpp": np.array([0.7]), "psnr": np.array([31.0]),
+           "msssim": np.array([0.92])}
+    for m in (bd_metrics(two, one), bd_metrics(one, two)):
+        assert all(np.isnan(v) for v in m.values())
