@@ -197,11 +197,11 @@ def cmd_latents(args):
 def cmd_throughput(args):
     import jax
     import jax.numpy as jnp
-    from dsic_tpu.models import CompressionModel
+    from dsic_tpu.train.state import build_model
     from dsic_tpu.eval.throughput import measure_forward, measure_codec
     from dsic_tpu.data.synthetic import synthetic_patches
-    cfg = _cfg(args)
-    model = CompressionModel(N=cfg.MODEL.N, M=cfg.MODEL.M)
+    cfg = _cfg(args)  # --family/--quality pick a zoo family's codec class
+    model = build_model(cfg, train_dtype=None)
     x = synthetic_patches(1, (256, 256), seed=0)
     params = model.init({"params": jax.random.PRNGKey(0),
                          "noise": jax.random.PRNGKey(1)}, jnp.asarray(x))
@@ -272,6 +272,10 @@ def main(argv=None):
     sp = sub.add_parser("throughput")
     sp.add_argument("--batch", type=int, default=32)
     sp.add_argument("--spatial_params", action="store_true")
+    sp.add_argument("--family", default=None,
+                    help="measure a zoo family's codec instead of the "
+                         "flagship (random weights; pure throughput)")
+    sp.add_argument("--quality", type=int, default=None)
     sp.set_defaults(fn=cmd_throughput)
 
     args = p.parse_args(argv)
