@@ -559,7 +559,12 @@ class CheckerboardCodec(ZooCodec):
         y_np = np.asarray(y_q).astype(np.int64)
         z_np = np.asarray(z_q).astype(np.int64)
 
-        tail, n_states = self.cfg.tail, self.cfg.interleave
+        tail = self.cfg.tail
+        # adaptive interleave: each of the two y streams carries half the
+        # elements; on small tiles the per-stream state-flush overhead
+        # (8 bytes/state) dominates, so drop to one state there
+        n_states = self.cfg.interleave \
+            if yh * yw * yc // 2 >= 4096 else 1
         z_lo, lz_per = self._bounds(z_np, tail, self.cfg.support_bucket)
         y_lo, ly_per = self._bounds(y_np, tail, self.cfg.support_bucket)
         z_cdfs = self._z_tables(z_lo, lz_per)
@@ -736,7 +741,10 @@ class ChannelCodec(ZooCodec):
         sl = self.model.slice_size
         n_slices = self.model.num_slices
 
-        tail, n_states = self.cfg.tail, self.cfg.interleave
+        tail = self.cfg.tail
+        # adaptive interleave: K small per-slice streams pay K*states flush
+        # overhead — one state per stream on small tiles
+        n_states = self.cfg.interleave if yh * yw * sl >= 4096 else 1
         z_lo, lz_per = self._bounds(z_np, tail, self.cfg.support_bucket)
         y_lo, ly_per = self._bounds(y_np, tail, self.cfg.support_bucket)
         z_cdfs = self._z_tables(z_lo, lz_per)
