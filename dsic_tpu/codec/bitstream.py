@@ -21,6 +21,8 @@ Layout (little-endian):
     tail    u8
     n_y_streams u8
     B, y_h, y_w, y_c, z_h, z_w, z_c   u16 x7
+    orig_h, orig_w u16 x2   (0,0 = unknown; single-image files store the
+                             pre-padding size so decode can crop)
     per image: zmin, zmax, ymin, ymax  i32 x4;
                len_z u32; len_y[s] u32 x n_y_streams
     payloads per image: z bytes, then y stream 0..S-1, concatenated
@@ -33,7 +35,7 @@ from dataclasses import dataclass, field
 
 MAGIC = b"DSTC"
 VERSION = 2
-_HEAD = struct.Struct("<4sBBBBB7H")
+_HEAD = struct.Struct("<4sBBBBB7H2H")
 
 FILE_SUFFIX = ".dsic"
 
@@ -66,6 +68,7 @@ class Bitstream:
     spatial_params: bool = False
     n_states: int = 4
     tail: int = 10
+    orig_hw: tuple = (0, 0)  # pre-padding image size; (0,0) = unknown
 
     # --- convenience views ---------------------------------------------------
 
@@ -104,7 +107,8 @@ def pack_bitstream(bs: Bitstream) -> bytes:
     img = struct.Struct(f"<4i{1 + s}I")
     flags = 1 if bs.spatial_params else 0
     parts = [_HEAD.pack(MAGIC, VERSION, flags, bs.n_states, bs.tail, s,
-                        b, yh, yw, yc, zh, zw, zc)]
+                        b, yh, yw, yc, zh, zw, zc,
+                        bs.orig_hw[0], bs.orig_hw[1])]
     for i, (zmin, zmax, ymin, ymax) in enumerate(bs.bounds):
         lens = [len(bs.z_payloads[i])] + [len(st[i]) for st in bs.y_streams]
         parts.append(img.pack(zmin, zmax, ymin, ymax, *lens))
@@ -119,7 +123,7 @@ def unpack_bitstream(data: bytes) -> Bitstream:
     if len(data) < _HEAD.size:
         raise ValueError("truncated bitstream (no header)")
     (magic, version, flags, n_states, tail, s,
-     b, yh, yw, yc, zh, zw, zc) = _HEAD.unpack_from(data, 0)
+     b, yh, yw, yc, zh, zw, zc, oh, ow) = _HEAD.unpack_from(data, 0)
     if magic != MAGIC:
         raise ValueError("not a DSTC bitstream")
     if version != VERSION:
@@ -149,4 +153,4 @@ def unpack_bitstream(data: bytes) -> Bitstream:
     return Bitstream(y_shape=(b, yh, yw, yc), z_shape=(b, zh, zw, zc),
                      bounds=bounds, z_payloads=z_payloads,
                      y_streams=y_streams, spatial_params=bool(flags & 1),
-                     n_states=n_states, tail=tail)
+                     n_states=n_states, tail=tail, orig_hw=(oh, ow))

@@ -194,6 +194,92 @@ def cmd_latents(args):
           f"t_beats_gauss={fit['t_beats_gauss']}")
 
 
+def cmd_compress(args):
+    """Batch-compress a folder of images to per-image .dsic bitstreams —
+    the user-facing codec surface (any model family via --family/--quality).
+    Same-shaped images batch through the pipelined streaming encoder."""
+    from collections import defaultdict
+    from dsic_tpu.codec import make_codec
+    from dsic_tpu.codec.bitstream import save_bitstream
+    from dsic_tpu.eval.entropy_eval import load_params
+    from dsic_tpu.ops.pad import pad_to_multiple
+    from dsic_tpu.utils.image_io import list_images, load_image_u8
+    import jax.numpy as jnp
+
+    cfg = _cfg(args)
+    model, params = load_params(cfg, args.ckpt)
+    codec = make_codec(model, params)
+    os.makedirs(args.out, exist_ok=True)
+    paths = list_images(args.images)[:args.max_images]
+    if not paths:
+        raise SystemExit(f"no images under {args.images}")
+    mult = getattr(model, "pad_multiple", 16)
+
+    groups = defaultdict(list)
+    for p in paths:
+        img = load_image_u8(p)
+        groups[img.shape].append((p, img))
+
+    total_bits = total_px = 0
+    for shape, items in groups.items():
+        batches, names = [], []
+        bsz = args.batch
+        for i in range(0, len(items), bsz):
+            chunk = items[i:i + bsz]
+            x = np.stack([im for _, im in chunk])
+            x_pad, _ = pad_to_multiple(jnp.asarray(x), mult)
+            batches.append(np.asarray(x_pad))
+            names.append([p for p, _ in chunk])
+        for batch_names, res in zip(names, codec.compress_stream(batches)):
+            # one .dsic per image: re-pack each image's slice of the batch
+            from dsic_tpu.codec.bitstream import unpack_bitstream, \
+                pack_bitstream, Bitstream
+            bs = unpack_bitstream(res.data)
+            for j, src in enumerate(batch_names):
+                one = Bitstream(
+                    y_shape=(1, *bs.y_shape[1:]), z_shape=(1, *bs.z_shape[1:]),
+                    bounds=[bs.bounds[j]],
+                    z_payloads=[bs.z_payloads[j]],
+                    y_streams=[[st[j]] for st in bs.y_streams],
+                    spatial_params=bs.spatial_params, n_states=bs.n_states,
+                    tail=bs.tail, orig_hw=shape[:2])
+                name = os.path.splitext(os.path.basename(src))[0]
+                save_bitstream(os.path.join(args.out, name), pack_bitstream(one))
+            h, w = shape[:2]
+            total_bits += sum(res.per_image_bits)
+            total_px += len(batch_names) * h * w
+    print(f"compressed {len(paths)} images -> {args.out} "
+          f"({total_bits / max(1, total_px):.4f} payload bpp of original "
+          f"pixels)")
+
+
+def cmd_decompress(args):
+    """Reconstruct PNGs from a folder of .dsic bitstreams."""
+    import glob as _glob
+    from dsic_tpu.codec import make_codec
+    from dsic_tpu.codec.bitstream import load_bitstream, FILE_SUFFIX
+    from dsic_tpu.eval.entropy_eval import load_params
+    from dsic_tpu.utils.image_io import save_image
+
+    cfg = _cfg(args)
+    model, params = load_params(cfg, args.ckpt)
+    codec = make_codec(model, params)
+    os.makedirs(args.out, exist_ok=True)
+    files = sorted(_glob.glob(os.path.join(args.images, f"*{FILE_SUFFIX}")))
+    if not files:
+        raise SystemExit(f"no {FILE_SUFFIX} files under {args.images}")
+    from dsic_tpu.codec.bitstream import unpack_bitstream
+    datas = [load_bitstream(f) for f in files]
+    for f, data, x_hat in zip(files, datas, codec.decompress_stream(datas)):
+        oh, ow = unpack_bitstream(data).orig_hw
+        img = x_hat[0]
+        if oh and ow:  # crop the encode-side padding back off
+            img = img[:oh, :ow]
+        name = os.path.splitext(os.path.basename(f))[0]
+        save_image(os.path.join(args.out, name + ".png"), img)
+    print(f"decompressed {len(files)} bitstreams -> {args.out}")
+
+
 def cmd_throughput(args):
     import jax
     import jax.numpy as jnp
@@ -269,6 +355,15 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_scene)
     sp = sub.add_parser("latents"); common(sp, ckpt=True, images=True)
     sp.set_defaults(fn=cmd_latents)
+    sp = sub.add_parser("compress")
+    common(sp, ckpt=True, images=True)
+    sp.add_argument("--batch", type=int, default=16)
+    sp.set_defaults(fn=cmd_compress)
+    sp = sub.add_parser("decompress")
+    common(sp, ckpt=True)
+    sp.add_argument("--images", required=True,
+                    help="folder of .dsic bitstreams")
+    sp.set_defaults(fn=cmd_decompress)
     sp = sub.add_parser("throughput")
     sp.add_argument("--batch", type=int, default=32)
     sp.add_argument("--spatial_params", action="store_true")

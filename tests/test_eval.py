@@ -120,3 +120,41 @@ def test_bd_metrics_degenerate_curves_yield_nan():
            "msssim": np.array([0.92])}
     for m in (bd_metrics(two, one), bd_metrics(one, two)):
         assert all(np.isnan(v) for v in m.values())
+
+
+def test_compress_decompress_cli_roundtrip(tmp_path, monkeypatch):
+    """The user-facing batch codec surface: folder -> per-image .dsic ->
+    reconstruction PNGs cropped back to the original (odd) sizes."""
+    import dataclasses
+    import jax
+    from dsic_tpu.config import Config
+    from dsic_tpu.data.synthetic import write_synthetic_dataset, \
+        synthetic_patches
+    from dsic_tpu.train.trainer import Trainer
+    import dsic_tpu.eval.cli as cli_mod
+    from dsic_tpu.utils.image_io import load_image_u8
+
+    write_synthetic_dataset(str(tmp_path / "imgs"), n=3, hw=(50, 70), seed=3)
+    base = Config()
+    cfg = base.replace(
+        MODEL=dataclasses.replace(base.MODEL, N=16, M=24),
+        TRAIN=dataclasses.replace(base.TRAIN, amp=False, epochs=1),
+        LOSS=dataclasses.replace(base.LOSS, lambda_rd=100.0),
+        LOGGING=dataclasses.replace(base.LOGGING,
+                                    ckpt_dir=str(tmp_path / "ck")))
+    t = Trainer(cfg, run_name="m", sample_shape=(1, 64, 64, 3))
+    path = t.fit([synthetic_patches(2, (64, 64), seed=1)], max_steps=1)
+
+    orig_cfg = cli_mod._cfg
+    monkeypatch.setattr(cli_mod, "_cfg", lambda a: orig_cfg(a).replace(
+        MODEL=dataclasses.replace(orig_cfg(a).MODEL, N=16, M=24)))
+    cli_mod.main(["compress", "--ckpt", path,
+                  "--images", str(tmp_path / "imgs"),
+                  "--out", str(tmp_path / "bits")])
+    bits = sorted((tmp_path / "bits").glob("*.dsic"))
+    assert len(bits) == 3
+    cli_mod.main(["decompress", "--ckpt", path,
+                  "--images", str(tmp_path / "bits"),
+                  "--out", str(tmp_path / "recon")])
+    r = load_image_u8(str(tmp_path / "recon" / "patch_0000.png"))
+    assert r.shape == (50, 70, 3)
