@@ -221,32 +221,42 @@ class Codec:
         y_q, z_q = self._encode_latents(self.params, self._put(x))
         return (h, w), y_q, z_q
 
-    def _y_tables_fused(self, z_dev, y_lo: np.ndarray, l_per: np.ndarray,
-                        latent_hw) -> list:
-        """hyper-decode + Student-t pmf in one device call (per ~256MB batch
-        chunk), then per-image integer quantization on host -> per-image
-        (R, L_i+1) uint32 rows. R = channels in global mode, all elements in
-        spatial mode."""
-        b = int(z_dev.shape[0])
+    def _chunked_pmf_tables(self, pmf_fn, dev_args: tuple,
+                            y_lo: np.ndarray, l_per: np.ndarray,
+                            rows: int) -> list:
+        """THE chunked device pmf -> per-image CDF-row builder, shared by
+        every codec family's table paths: one place owns the ~256MB chunk
+        budget and the keep-batch-sharded-layout rule. ``pmf_fn`` is called
+        as pmf_fn(params, *dev_args_chunk, lo_dev, L_pad) and must return
+        (chunk, R, L_pad) bin probabilities."""
+        b = int(dev_args[0].shape[0])
         L_pad = int(l_per.max())  # already bucketed
-        spatial = self._per_element_y
-        rows = (latent_hw[0] * latent_hw[1] * self.model.M if spatial
-                else self.model.M)
         chunk = max(1, int(256e6 / max(1, rows * L_pad * 4)))
         if self._batch_sharding is not None:
             chunk = b  # keep the batch-sharded layout intact
         pmfs = []
         for i in range(0, b, chunk):
             lo_dev = self._put(np.asarray(y_lo[i:i + chunk], np.int32))
-            if spatial:
-                pmfs.append(np.asarray(self._y_pmf_from_z_spatial(
-                    self.params, z_dev[i:i + chunk], lo_dev, L_pad,
-                    tuple(latent_hw))))
-            else:
-                pmfs.append(np.asarray(self._y_pmf_from_z(
-                    self.params, z_dev[i:i + chunk], lo_dev, L_pad)))
+            sliced = [a[i:i + chunk] for a in dev_args]
+            pmfs.append(np.asarray(pmf_fn(self.params, *sliced,
+                                          lo_dev, L_pad)))
         pmf = pmfs[0] if len(pmfs) == 1 else np.concatenate(pmfs, axis=0)
         return self._per_image_quantize(pmf, l_per)
+
+    def _y_tables_fused(self, z_dev, y_lo: np.ndarray, l_per: np.ndarray,
+                        latent_hw) -> list:
+        """hyper-decode + Student-t pmf in one device call per chunk ->
+        per-image (R, L_i+1) uint32 rows. R = channels in global mode, all
+        elements in spatial mode."""
+        if self._per_element_y:
+            rows = latent_hw[0] * latent_hw[1] * self.model.M
+            hw = tuple(latent_hw)
+            fn = lambda p, z, lo, L: self._y_pmf_from_z_spatial(  # noqa: E731
+                p, z, lo, L, hw)
+        else:
+            rows = self.model.M
+            fn = self._y_pmf_from_z
+        return self._chunked_pmf_tables(fn, (z_dev,), y_lo, l_per, rows)
 
     def _host_encode(self, handles) -> CompressResult:
         (h, w), y_q, z_q = handles
@@ -300,7 +310,11 @@ class Codec:
     # --- decode ------------------------------------------------------------
 
     def _decode_planes(self, bs: Bitstream):
-        """Shared decode path -> (y_hat, z_hat) float arrays."""
+        """Shared decode path -> (y_sym, z_sym, y_hat_dev|None)."""
+        if bs.n_y_streams != 1:
+            raise ValueError(
+                f"bitstream carries {bs.n_y_streams} y streams; this model's "
+                "codec decodes exactly one (wrong --family/checkpoint?)")
         b, yh, yw, yc = bs.y_shape
         _, zh, zw, zc = bs.z_shape
         z_lo = np.asarray([bd[0] for bd in bs.bounds], np.int32)
@@ -337,7 +351,7 @@ class Codec:
 
         with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
             y_hat = np.stack(list(pool.map(decode_y, range(b))), axis=0)
-        return y_hat, z_hat
+        return y_hat, z_hat, None
 
     def decompress_stream(self, datas, quantize_output: bool = True):
         """Pipelined streaming decode over an iterable of bitstreams: two
@@ -364,13 +378,22 @@ class Codec:
         wire traffic; what gets written to PNG anyway). False keeps the exact
         float synthesis output."""
         bs = unpack_bitstream(data)
-        y_hat, z_hat = self._decode_planes(bs)
+        y_sym, z_sym, y_hat_dev = self._decode_planes(bs)
+        if y_hat_dev is not None:
+            # multi-pass codecs already built the dequantized y on device
+            # during table construction — synthesize from it directly
+            # instead of re-running the conditional dequant recursion
+            if quantize_output:
+                u8 = self._synth_cached_u8(self.params, y_hat_dev)
+                return np.asarray(u8).astype(np.float32) / 255.0
+            return np.asarray(jnp.clip(
+                self._synth_cached(self.params, y_hat_dev), 0.0, 1.0))
         if quantize_output:
-            u8 = self._synthesize_u8(self.params, self._put(y_hat),
-                                     self._put(z_hat))
+            u8 = self._synthesize_u8(self.params, self._put(y_sym),
+                                     self._put(z_sym))
             return np.asarray(u8).astype(np.float32) / 255.0
-        x_hat = self._synthesize(self.params, self._put(y_hat),
-                                 self._put(z_hat))
+        x_hat = self._synthesize(self.params, self._put(y_sym),
+                                 self._put(z_sym))
         return np.asarray(jnp.clip(x_hat, 0.0, 1.0))
 
     # --- introspection (round-trip tests) ----------------------------------
@@ -381,7 +404,8 @@ class Codec:
 
     def decoded_latents(self, data: bytes):
         """Decode only the symbol planes (for bit-exactness tests)."""
-        return self._decode_planes(unpack_bitstream(data))
+        y_sym, z_sym, _ = self._decode_planes(unpack_bitstream(data))
+        return y_sym, z_sym
 
 
 def compress_images(model, params, x: np.ndarray,
@@ -422,6 +446,14 @@ class ZooCodec(Codec):
 
         self._synthesize = jax.jit(lambda p, y, z: _synth(p, y, z, False))
         self._synthesize_u8 = jax.jit(lambda p, y, z: _synth(p, y, z, True))
+
+        def _synth_cached(p, y_hat, u8):
+            x_hat = jnp.clip(model.apply(p, y_hat, method=model.synthesize),
+                             0.0, 1.0)
+            return (x_hat * 255.0 + 0.5).astype(jnp.uint8) if u8 else x_hat
+
+        self._synth_cached = jax.jit(lambda p, y: _synth_cached(p, y, False))
+        self._synth_cached_u8 = jax.jit(lambda p, y: _synth_cached(p, y, True))
 
         def _z_pmf(p, lo, L_pad):
             n = model.N
@@ -535,21 +567,10 @@ class CheckerboardCodec(ZooCodec):
                 np.where(~flat)[0].astype(np.int64))
 
     def _pass_tables(self, pmf_fn, args, y_lo, l_per, sel_dev) -> list:
-        """Chunked device pmf build for one pass -> per-image CDF rows."""
-        b = int(args[0].shape[0])
-        L_pad = int(l_per.max())
-        rows = int(sel_dev.shape[0])
-        chunk = max(1, int(256e6 / max(1, rows * L_pad * 4)))
-        if self._batch_sharding is not None:
-            chunk = b
-        pmfs = []
-        for i in range(0, b, chunk):
-            lo_dev = self._put(np.asarray(y_lo[i:i + chunk], np.int32))
-            sliced = [a[i:i + chunk] for a in args]
-            pmfs.append(np.asarray(
-                pmf_fn(self.params, *sliced, lo_dev, L_pad, sel_dev)))
-        pmf = pmfs[0] if len(pmfs) == 1 else np.concatenate(pmfs, axis=0)
-        return self._per_image_quantize(pmf, l_per)
+        """One pass's tables via the shared chunked builder."""
+        fn = lambda p, *a: pmf_fn(p, *a, sel_dev)  # noqa: E731
+        return self._chunked_pmf_tables(fn, tuple(args), y_lo, l_per,
+                                        int(sel_dev.shape[0]))
 
     def _host_encode(self, handles) -> CompressResult:
         (h, w), y_q, z_q = handles
@@ -681,7 +702,7 @@ class CheckerboardCodec(ZooCodec):
             na_syms = list(pool.map(decode_na, range(b)))
         for i in range(b):
             y_flat[i, na_idx] = na_syms[i]
-        return y_flat.reshape(b, yh, yw, yc), z_hat
+        return y_flat.reshape(b, yh, yw, yc), z_hat, None
 
 
 class ChannelCodec(ZooCodec):
@@ -716,20 +737,9 @@ class ChannelCodec(ZooCodec):
 
     def _slice_tables(self, z_dev, prefix_dev, y_lo: np.ndarray,
                       l_per: np.ndarray, rows: int) -> list:
-        """Chunked per-slice pmf build -> per-image (rows, L_i+1) CDFs."""
-        b = int(z_dev.shape[0])
-        L_pad = int(l_per.max())
-        chunk = max(1, int(256e6 / max(1, rows * L_pad * 4)))
-        if self._batch_sharding is not None:
-            chunk = b
-        pmfs = []
-        for i in range(0, b, chunk):
-            lo_dev = self._put(np.asarray(y_lo[i:i + chunk], np.int32))
-            pmfs.append(np.asarray(self._pmf_k(
-                self.params, z_dev[i:i + chunk], prefix_dev[i:i + chunk],
-                lo_dev, L_pad)))
-        pmf = pmfs[0] if len(pmfs) == 1 else np.concatenate(pmfs, axis=0)
-        return self._per_image_quantize(pmf, l_per)
+        """One slice's tables via the shared chunked builder."""
+        return self._chunked_pmf_tables(self._pmf_k, (z_dev, prefix_dev),
+                                        y_lo, l_per, rows)
 
     def _host_encode(self, handles) -> CompressResult:
         (h, w), y_q, z_q = handles
@@ -838,7 +848,9 @@ class ChannelCodec(ZooCodec):
             y_out[..., k * sl:(k + 1) * sl] = syms_k
             prefix = self._dequant_k(self.params, z_dev, prefix,
                                      self._put(syms_k))
-        return y_out, z_hat
+        # `prefix` is the fully dequantized y (all K slices, LRP applied) —
+        # hand it to decompress so synthesis skips a second K-pass recursion
+        return y_out, z_hat, prefix
 
 
 def make_codec(model, params, cfg: CodecConfig | None = None,

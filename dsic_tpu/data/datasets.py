@@ -129,8 +129,11 @@ class Loader:
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        # a partial final global batch cannot split evenly across processes
-        self.drop_last = drop_last or process_count > 1
+        # a partial final global batch cannot split evenly across processes;
+        # with drop_last=False on a pod the tail is instead TRIMMED to a
+        # process_count multiple (so validation never silently loses a whole
+        # epoch's worth of images when the set is smaller than the batch)
+        self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.process_index = process_index
@@ -140,6 +143,15 @@ class Loader:
     def __len__(self):
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def skip_epochs(self, n: int) -> None:
+        """Advance the epoch-shuffle rng by ``n`` epochs without loading
+        anything: a resumed run's loader replays the same batch ORDER stream
+        the preempted run saw (Trainer.fit calls this on restore)."""
+        order = np.arange(len(self.ds))
+        for _ in range(max(0, n)):
+            if self.shuffle:
+                self._epoch_rng.shuffle(order)
 
     def __iter__(self):
         # Identical seeded order on every process (the rng is seeded per
@@ -151,12 +163,31 @@ class Loader:
         batches = []
         bs = self.batch_size
         local = bs // self.process_count
-        for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs):
+        n_full = len(order) // bs
+        for i in range(0, n_full * bs, bs):
             idxs = order[i:i + bs]
             if self.process_count > 1:
                 idxs = idxs[self.process_index * local:
                             (self.process_index + 1) * local]
             batches.append(idxs)
+        if not self.drop_last and n_full * bs < len(order):
+            tail = order[n_full * bs:]
+            if self.process_count > 1:
+                # trim to a process_count multiple so every host gets an
+                # equal slice of the final partial global batch
+                keep = (len(tail) // self.process_count) * self.process_count
+                if keep < len(tail):
+                    import warnings
+                    warnings.warn(
+                        f"multi-host loader: dropping {len(tail) - keep} "
+                        f"tail image(s) that cannot split across "
+                        f"{self.process_count} processes")
+                tail = tail[:keep]
+                per = keep // self.process_count
+                tail = tail[self.process_index * per:
+                            (self.process_index + 1) * per]
+            if len(tail):
+                batches.append(tail)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

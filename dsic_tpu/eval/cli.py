@@ -195,15 +195,21 @@ def cmd_latents(args):
 
 
 def cmd_compress(args):
-    """Batch-compress a folder of images to per-image .dsic bitstreams —
-    the user-facing codec surface (any model family via --family/--quality).
-    Same-shaped images batch through the pipelined streaming encoder."""
-    from collections import defaultdict
+    """Compress a folder of images to per-image .dsic bitstreams — the
+    user-facing codec surface (any model family via --family/--quality).
+
+    Each image is encoded as its OWN batch-1 container: the codec's
+    decodability invariant requires decode to rebuild CDF tables through
+    jits compiled at the SAME shapes as encode, and the decompress command
+    decodes one file (batch 1) at a time. The streaming encoder still
+    pipelines device work for image i+1 against host coding of image i."""
     from dsic_tpu.codec import make_codec
-    from dsic_tpu.codec.bitstream import save_bitstream
+    from dsic_tpu.codec.bitstream import (
+        save_bitstream, unpack_bitstream, pack_bitstream)
     from dsic_tpu.eval.entropy_eval import load_params
     from dsic_tpu.ops.pad import pad_to_multiple
     from dsic_tpu.utils.image_io import list_images, load_image_u8
+    import dataclasses
     import jax.numpy as jnp
 
     cfg = _cfg(args)
@@ -215,39 +221,21 @@ def cmd_compress(args):
         raise SystemExit(f"no images under {args.images}")
     mult = getattr(model, "pad_multiple", 16)
 
-    groups = defaultdict(list)
-    for p in paths:
-        img = load_image_u8(p)
-        groups[img.shape].append((p, img))
+    imgs = [load_image_u8(p) for p in paths]
+
+    def batches():
+        for img in imgs:
+            x_pad, _ = pad_to_multiple(jnp.asarray(img)[None], mult)
+            yield np.asarray(x_pad)
 
     total_bits = total_px = 0
-    for shape, items in groups.items():
-        batches, names = [], []
-        bsz = args.batch
-        for i in range(0, len(items), bsz):
-            chunk = items[i:i + bsz]
-            x = np.stack([im for _, im in chunk])
-            x_pad, _ = pad_to_multiple(jnp.asarray(x), mult)
-            batches.append(np.asarray(x_pad))
-            names.append([p for p, _ in chunk])
-        for batch_names, res in zip(names, codec.compress_stream(batches)):
-            # one .dsic per image: re-pack each image's slice of the batch
-            from dsic_tpu.codec.bitstream import unpack_bitstream, \
-                pack_bitstream, Bitstream
-            bs = unpack_bitstream(res.data)
-            for j, src in enumerate(batch_names):
-                one = Bitstream(
-                    y_shape=(1, *bs.y_shape[1:]), z_shape=(1, *bs.z_shape[1:]),
-                    bounds=[bs.bounds[j]],
-                    z_payloads=[bs.z_payloads[j]],
-                    y_streams=[[st[j]] for st in bs.y_streams],
-                    spatial_params=bs.spatial_params, n_states=bs.n_states,
-                    tail=bs.tail, orig_hw=shape[:2])
-                name = os.path.splitext(os.path.basename(src))[0]
-                save_bitstream(os.path.join(args.out, name), pack_bitstream(one))
-            h, w = shape[:2]
-            total_bits += sum(res.per_image_bits)
-            total_px += len(batch_names) * h * w
+    for src, img, res in zip(paths, imgs, codec.compress_stream(batches())):
+        bs = dataclasses.replace(unpack_bitstream(res.data),
+                                 orig_hw=img.shape[:2])
+        name = os.path.splitext(os.path.basename(src))[0]
+        save_bitstream(os.path.join(args.out, name), pack_bitstream(bs))
+        total_bits += res.per_image_bits[0]
+        total_px += img.shape[0] * img.shape[1]
     print(f"compressed {len(paths)} images -> {args.out} "
           f"({total_bits / max(1, total_px):.4f} payload bpp of original "
           f"pixels)")
@@ -357,7 +345,6 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_latents)
     sp = sub.add_parser("compress")
     common(sp, ckpt=True, images=True)
-    sp.add_argument("--batch", type=int, default=16)
     sp.set_defaults(fn=cmd_compress)
     sp = sub.add_parser("decompress")
     common(sp, ckpt=True)

@@ -84,6 +84,7 @@ class Trainer:
         # a non-preempted run)
         self._epoch_start_step = 0
         self._resume_mid_epoch = False
+        self._resumed = False
 
     # --- checkpointing -----------------------------------------------------
 
@@ -109,6 +110,7 @@ class Trainer:
         if "epoch_start_step" in extra:
             self._epoch_start_step = int(extra["epoch_start_step"])
             self._resume_mid_epoch = True
+        self._resumed = True
 
     # --- the loop ----------------------------------------------------------
 
@@ -132,6 +134,12 @@ class Trainer:
             if self.epoch >= 1 and consumed > 0:
                 start_epoch = self.epoch
                 skip_batches = consumed
+        if self._resumed and hasattr(train_loader, "skip_epochs"):
+            # replay the shuffle stream up to the re-entered epoch so the
+            # skipped batches are the ONES ACTUALLY CONSUMED pre-preemption
+            # (a fresh Loader would otherwise hand epoch N the 1st shuffle)
+            train_loader.skip_epochs(start_epoch - 1)
+            self._resumed = False
         try:
             for epoch in range(start_epoch, cfg.TRAIN.epochs + 1):
                 self.epoch = epoch

@@ -396,3 +396,24 @@ def test_multipass_bitstream_corruption_rejected(family):
     bs2.y_streams = bs2.y_streams[:1]
     with pytest.raises(ValueError):
         codec.decompress(pack_bitstream(bs2))
+
+
+def test_single_pass_codec_rejects_multistream_bitstream():
+    """A checkerboard/charm bitstream fed to a single-pass codec (wrong
+    --family or checkpoint) must raise, not silently decode stream 0."""
+    import jax
+    from dsic_tpu.codec import make_codec
+    from dsic_tpu.models.zoo import ZOO_FAMILIES
+    from dsic_tpu.data.synthetic import synthetic_patches
+
+    cheng = ZOO_FAMILIES["cheng2020_checkerboard"](N=16, M=16)
+    x = np.asarray(synthetic_patches(1, (64, 64), seed=1))
+    p_cheng = cheng.init({"params": jax.random.PRNGKey(0),
+                          "noise": jax.random.PRNGKey(1)}, jnp.asarray(x))
+    data = make_codec(cheng, p_cheng).compress(x).data
+
+    mbt = ZOO_FAMILIES["mbt2018_mean"](N=16, M=16)
+    p_mbt = mbt.init({"params": jax.random.PRNGKey(0),
+                      "noise": jax.random.PRNGKey(1)}, jnp.asarray(x))
+    with pytest.raises(ValueError, match="y streams"):
+        make_codec(mbt, p_mbt).decompress(data)
