@@ -233,7 +233,20 @@ class Codec:
         L_pad = int(l_per.max())  # already bucketed
         chunk = max(1, int(256e6 / max(1, rows * L_pad * 4)))
         if self._batch_sharding is not None:
-            chunk = b  # keep the batch-sharded layout intact
+            # keep the batch-sharded layout intact: chunks must stay a
+            # multiple of the 'data' axis extent, but still respect the
+            # device-memory budget (a forced full-batch chunk could exceed
+            # HBM for large mesh-served batches with per-element rows)
+            n_data = int(self._batch_sharding.mesh.shape["data"])
+            chunk = max(n_data, (min(chunk, b) // n_data) * n_data)
+            if chunk > b:
+                chunk = b
+            if rows * L_pad * 4 * n_data > 1e9:
+                raise ValueError(
+                    f"CDF table build needs {rows * L_pad * 4 * n_data / 1e6:.0f}"
+                    f" MB even for one {n_data}-image mesh-aligned chunk "
+                    f"(rows={rows}, L={L_pad}); reduce the batch, the mesh "
+                    "'data' axis, or CODEC.support_bucket")
         pmfs = []
         for i in range(0, b, chunk):
             lo_dev = self._put(np.asarray(y_lo[i:i + chunk], np.int32))

@@ -36,12 +36,19 @@ class DataConfig:
 
 @dataclass
 class OptimConfig:
-    """Mirrors reference OPTIM (config.py:12-17)."""
+    """Mirrors reference OPTIM (config.py:12-17). The reference trains at a
+    constant lr (train.py:182); ``lr_schedule="cosine"`` adds warmup + cosine
+    decay to ``lr * min_lr_ratio`` over ``decay_steps`` total steps — needed
+    for smooth converged RD points in equal-steps sweeps."""
 
     lr: float = 1e-4
     weight_decay: float = 0.0
     betas: tuple = (0.9, 0.999)
     grad_clip: float = 1.0
+    lr_schedule: str = "constant"  # "constant" | "cosine"
+    warmup_steps: int = 0
+    decay_steps: int = 0  # required > 0 when lr_schedule == "cosine"
+    min_lr_ratio: float = 0.0  # final lr = lr * min_lr_ratio (cosine)
 
 
 @dataclass
@@ -66,6 +73,12 @@ class TrainConfig:
     seed: int = 42
     epochs: int = 30
     amp: bool = True
+    # Which params land in the final `alpha{lambda}lambda` checkpoint:
+    # "last" = final-step params (reference behavior, train.py:227-235);
+    # "best" = the lowest-validation-loss params seen at any val_every point
+    # (the reference's commented-out best-val save, train.py:215-225, made
+    # first-class — required for monotone RD curves from finite-step sweeps).
+    select: str = "last"
 
 
 @dataclass

@@ -76,11 +76,26 @@ class FolderImages:
         self.shape_policy = shape_policy
         self.pad_multiple = pad_multiple
         self.wire_dtype = wire_dtype
-        self._rng = np.random.default_rng(seed)
-        self._lock = threading.Lock()
+        self.seed = seed
+        # augmentation draws are seeded per (seed, epoch, index): deterministic
+        # regardless of decode-thread scheduling, and a resumed run replays the
+        # SAME hflip/crop stream as the uninterrupted run it matches
+        # (Loader.__iter__/skip_epochs advance the epoch counter)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self.paths)
+
+    def sample_shape(self) -> tuple[int, int, int]:
+        """Static per-image shape (H, W, C) WITHOUT advancing any rng state —
+        shape probes must not consume the augmentation stream."""
+        if self.shape_policy == "crop":
+            return (self.crop_size, self.crop_size, 3)
+        img = load_image(self.paths[0])
+        return _pad_to_multiple_np(img, self.pad_multiple).shape
 
     def __getitem__(self, idx: int) -> np.ndarray:
         # WARN-and-substitute on unreadable files (the reference's
@@ -97,10 +112,10 @@ class FolderImages:
                 last_exc = exc
         else:
             raise last_exc
-        with self._lock:
-            flip = self.train and self._rng.random() < 0.5
-            if self.shape_policy == "crop":
-                img = _crop_or_pad_np(img, self.crop_size, self._rng)
+        rng = np.random.default_rng((self.seed, self._epoch, idx))
+        flip = self.train and rng.random() < 0.5
+        if self.shape_policy == "crop":
+            img = _crop_or_pad_np(img, self.crop_size, rng)
         if self.shape_policy == "pad":
             img = _pad_to_multiple_np(img, self.pad_multiple)
         if flip:
@@ -139,24 +154,30 @@ class Loader:
         self.process_index = process_index
         self.process_count = max(1, process_count)
         self._epoch_rng = np.random.default_rng(seed)
+        self._epoch_count = 0  # epochs started; drives ds.set_epoch
 
     def __len__(self):
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def skip_epochs(self, n: int) -> None:
-        """Advance the epoch-shuffle rng by ``n`` epochs without loading
-        anything: a resumed run's loader replays the same batch ORDER stream
-        the preempted run saw (Trainer.fit calls this on restore)."""
+        """Advance the epoch-shuffle rng AND the augmentation epoch counter by
+        ``n`` epochs without loading anything: a resumed run's loader replays
+        the same batch-order and hflip/crop streams the preempted run saw
+        (Trainer.fit calls this on restore)."""
         order = np.arange(len(self.ds))
         for _ in range(max(0, n)):
             if self.shuffle:
                 self._epoch_rng.shuffle(order)
+        self._epoch_count += max(0, n)
 
     def __iter__(self):
         # Identical seeded order on every process (the rng is seeded per
         # Loader and advanced once per epoch on all processes alike), so the
         # global batch composition is consistent across hosts.
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(self._epoch_count)
+        self._epoch_count += 1
         order = np.arange(len(self.ds))
         if self.shuffle:
             self._epoch_rng.shuffle(order)

@@ -83,7 +83,10 @@ def cmd_bd(args):
     from dsic_tpu.eval.baselines import BASELINE_CURVES
     from dsic_tpu.utils.csv_logger import CsvLogger
     cfg = _cfg(args)
+    lambdas = ([float(s) for s in args.lambdas.split(",")]
+               if getattr(args, "lambdas", None) else LAMBDA_GRID)
     curve = evaluate_model_lambdas(cfg, args.ckpt_root, args.images, args.out,
+                                   lambdas=lambdas,
                                    max_images=args.max_images,
                                    make_plots=False)
     for name, base in BASELINE_CURVES.items():
@@ -325,6 +328,10 @@ def main(argv=None):
                     help="also write the .dsic bitstream file")
     sp.set_defaults(fn=cmd_entropy)
     sp = sub.add_parser("bd"); common(sp, ckpt_root=True, images=True)
+    sp.add_argument("--lambdas", default=None,
+                    help="comma-separated flagship lambda grid (default: the "
+                         "reference 8-point grid); extra points widen the "
+                         "curve's rate range for BD overlap")
     sp.add_argument("--live", default=None,
                     help="comma-separated zoo families with trained "
                          "{family}_q{q} checkpoints in ckpt_root for LIVE "

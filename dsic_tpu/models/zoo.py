@@ -345,7 +345,11 @@ ZOO_FAMILIES = {
 }
 
 # cheng2020's grid: 6 qualities, y channels == N (compressai cheng2020_attn,
-# the reference's third baseline family, writeupbdcurveschengALL.py:206)
+# the reference's third baseline family, writeupbdcurveschengALL.py:206).
+# q7/q8 extend the published 6-point grid upward with the hyperprior
+# families' top λs (ZOO_QUALITY q7/q8): the live BD comparison needs the
+# cheng rate range to overlap the flagship curve's span (BD metrics are NaN
+# on non-overlapping curves), which the 6-point grid tops out below.
 CHENG_QUALITY = {
     1: dict(N=128, M=128, lam=0.0018 * 255.0 ** 2),
     2: dict(N=128, M=128, lam=0.0035 * 255.0 ** 2),
@@ -353,6 +357,8 @@ CHENG_QUALITY = {
     4: dict(N=192, M=192, lam=0.0130 * 255.0 ** 2),
     5: dict(N=192, M=192, lam=0.0250 * 255.0 ** 2),
     6: dict(N=192, M=192, lam=0.0483 * 255.0 ** 2),
+    7: dict(N=192, M=192, lam=0.0932 * 255.0 ** 2),
+    8: dict(N=192, M=192, lam=0.1800 * 255.0 ** 2),
 }
 
 
@@ -367,7 +373,8 @@ def zoo_quality(family: str, quality: int) -> dict:
 
 
 def zoo_qualities(family: str) -> list[int]:
-    """The family's full quality grid (8 for the hyperpriors, 6 for cheng)."""
+    """The family's full quality grid (8 points for every family; cheng's
+    published grid is q1-6, with q7/q8 the overlap extension above)."""
     return sorted(CHENG_QUALITY if family.startswith("cheng2020")
                   else ZOO_QUALITY)
 

@@ -34,12 +34,27 @@ def main(argv=None):
     p.add_argument("--quality_sweep", type=str, default=None,
                    help="comma-separated zoo qualities to train, e.g. "
                         "'1,2,3,4,5,6,7,8' (one checkpoint per quality)")
+    p.add_argument("--lambdas", type=str, default=None,
+                   help="comma-separated custom lambda grid for "
+                        "--lambda_sweep/--lambda_vmap (default: the "
+                        "reference 8-point grid); extra low/high points "
+                        "widen the RD curve's rate range for BD overlap")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--mesh", action="store_true",
                    help="data-parallel training over all devices")
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--select", type=str, default=None,
+                   choices=["last", "best"],
+                   help="final-checkpoint params: last step (reference) or "
+                        "lowest-val-loss (TRAIN.select)")
+    p.add_argument("--lr_schedule", type=str, default=None,
+                   choices=["constant", "cosine"])
+    p.add_argument("--warmup_steps", type=int, default=None)
+    p.add_argument("--decay_steps", type=int, default=None,
+                   help="total steps for the cosine schedule (defaults to "
+                        "--max_steps when --lr_schedule cosine is given)")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -51,30 +66,43 @@ def main(argv=None):
         overrides["TRAIN.epochs"] = args.epochs
     if args.batch_size is not None:
         overrides["DATA.batch_size"] = args.batch_size
+    if args.select is not None:
+        overrides["TRAIN.select"] = args.select
+    if args.lr_schedule is not None:
+        overrides["OPTIM.lr_schedule"] = args.lr_schedule
+    if args.warmup_steps is not None:
+        overrides["OPTIM.warmup_steps"] = args.warmup_steps
+    if args.decay_steps is not None:
+        overrides["OPTIM.decay_steps"] = args.decay_steps
+    elif args.lr_schedule == "cosine" and args.max_steps:
+        overrides["OPTIM.decay_steps"] = args.max_steps
     cfg = load_config(args.config, overrides)
 
     if args.family != "dsic" or args.quality or args.quality_sweep:
         _train_zoo(cfg, args)
         return
 
+    grid = ([float(s) for s in args.lambdas.split(",")] if args.lambdas
+            else LAMBDA_GRID)
+
     if args.lambda_vmap:
         from dsic_tpu.train.sweep import train_sweep_vmapped
         train_loader, val_loader = make_loaders(cfg)
-        paths = train_sweep_vmapped(cfg, LAMBDA_GRID, train_loader,
+        paths = train_sweep_vmapped(cfg, grid, train_loader,
                                     val_loader, run_name=args.run_name,
                                     max_steps=args.max_steps)
         for p_ in paths:
             print(f"saved {p_}")
         return
 
-    lambdas = LAMBDA_GRID if args.lambda_sweep else [cfg.LOSS.lambda_rd]
+    lambdas = grid if args.lambda_sweep else [cfg.LOSS.lambda_rd]
     for lam in lambdas:
         run_cfg = cfg.replace(LOSS=dataclasses.replace(cfg.LOSS, lambda_rd=lam))
         train_loader, val_loader = make_loaders(run_cfg)
-        # infer the static sample shape from one batch
-        first = next(iter(train_loader))
+        # static sample shape probed WITHOUT consuming the loader (which
+        # would advance the shuffle stream before epoch 1)
         trainer = Trainer(run_cfg, run_name=args.run_name, use_mesh=args.mesh,
-                          sample_shape=(1, *first.shape[1:]))
+                          sample_shape=(1, *train_loader.ds.sample_shape()))
         if args.resume:
             trainer.restore(args.resume)
         print(f"=== training lambda={lam} -> "
@@ -95,18 +123,26 @@ def _train_zoo(cfg, args):
         qualities = [int(q) for q in args.quality_sweep.split(",")]
     else:
         qualities = [args.quality or 1]
+    from dsic_tpu.models.zoo import ZOO_FAMILIES
+    fam_cls = ZOO_FAMILIES[args.family]
+    fam_cls = getattr(fam_cls, "func", fam_cls)  # unwrap functools.partial
+    # zoo hyper branches upsample z by exactly 4: training batches must pad
+    # to the model's pad_multiple (64), not the flagship's 16
+    pad_mult = max(cfg.DATA.pad_multiple,
+                   getattr(fam_cls, "pad_multiple", cfg.DATA.pad_multiple))
     for q in qualities:
         preset = zoo_quality(args.family, q)
         run_cfg = cfg.replace(
+            DATA=dataclasses.replace(cfg.DATA, pad_multiple=pad_mult),
             MODEL=dataclasses.replace(cfg.MODEL, family=args.family,
                                       N=preset["N"], M=preset["M"]),
             LOSS=dataclasses.replace(cfg.LOSS, lambda_rd=preset["lam"],
                                      dist="mse"))
         train_loader, val_loader = make_loaders(run_cfg)
-        first = next(iter(train_loader))
         name = zoo_ckpt_name(args.family, q)
         trainer = Trainer(run_cfg, run_name=args.run_name, use_mesh=args.mesh,
-                          sample_shape=(1, *first.shape[1:]), final_ckpt=name)
+                          sample_shape=(1, *train_loader.ds.sample_shape()),
+                          final_ckpt=name, log_name=f"train_log_{name}.csv")
         if args.resume:
             trainer.restore(args.resume)
         print(f"=== training {args.family} q={q} (N={preset['N']} "

@@ -31,16 +31,35 @@ class TrainState:
                           opt_state=new_opt, step=self.step + 1)
 
 
+def make_lr(cfg: Config):
+    """Learning-rate schedule from OPTIM: constant (reference, train.py:182)
+    or warmup+cosine decay over OPTIM.decay_steps."""
+    o = cfg.OPTIM
+    sched = getattr(o, "lr_schedule", "constant")
+    if sched == "constant":
+        return o.lr
+    if sched == "cosine":
+        if o.decay_steps <= 0:
+            raise ValueError("OPTIM.lr_schedule='cosine' needs "
+                             "OPTIM.decay_steps > 0 (total planned steps)")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if o.warmup_steps else o.lr,
+            peak_value=o.lr, warmup_steps=o.warmup_steps,
+            decay_steps=o.decay_steps, end_value=o.lr * o.min_lr_ratio)
+    raise ValueError(f"unknown OPTIM.lr_schedule {sched!r}")
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    lr = make_lr(cfg)
     chain = []
     if cfg.OPTIM.grad_clip and cfg.OPTIM.grad_clip > 0:
         chain.append(optax.clip_by_global_norm(cfg.OPTIM.grad_clip))
     if cfg.OPTIM.weight_decay and cfg.OPTIM.weight_decay > 0:
-        chain.append(optax.adamw(cfg.OPTIM.lr, b1=cfg.OPTIM.betas[0],
+        chain.append(optax.adamw(lr, b1=cfg.OPTIM.betas[0],
                                  b2=cfg.OPTIM.betas[1],
                                  weight_decay=cfg.OPTIM.weight_decay))
     else:
-        chain.append(optax.adam(cfg.OPTIM.lr, b1=cfg.OPTIM.betas[0],
+        chain.append(optax.adam(lr, b1=cfg.OPTIM.betas[0],
                                 b2=cfg.OPTIM.betas[1]))
     return optax.chain(*chain)
 

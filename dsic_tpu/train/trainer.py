@@ -29,14 +29,32 @@ from dsic_tpu.utils.csv_logger import CsvLogger
 
 def validate(eval_step, params, val_loader, mesh=None):
     """Mean (R, D) over the validation set at round quantization
-    (train.py:149-162)."""
+    (train.py:149-162).
+
+    Tail batches whose size does not divide the mesh 'data' axis are
+    replicate-padded with row 0 up to the next multiple, and row 0's exact
+    contribution is subtracted back out (metric means are linear per image),
+    so small validation sets on large meshes stay exact instead of raising
+    in shard_batch."""
     tot_r, tot_d, n = 0.0, 0.0, 0
+    n_div = int(mesh.shape["data"]) if mesh is not None else 1
     for x in val_loader:
-        xb = jnp.asarray(x) if mesh is None else shard_batch(mesh, jnp.asarray(x))
-        m = eval_step(params, xb)
-        b = x.shape[0]
-        tot_r += float(m["R"]) * b
-        tot_d += float(m["D"]) * b
+        xb = jnp.asarray(x)
+        b = int(xb.shape[0])
+        pad = (-b) % n_div
+        if mesh is not None and pad:
+            xp = jnp.concatenate([xb, jnp.repeat(xb[:1], pad, axis=0)])
+            m = eval_step(params, shard_batch(mesh, xp))
+            x0 = jnp.repeat(xb[:1], b + pad, axis=0)
+            m0 = eval_step(params, shard_batch(mesh, x0))
+            tot_r += float(m["R"]) * (b + pad) - float(m0["R"]) * pad
+            tot_d += float(m["D"]) * (b + pad) - float(m0["D"]) * pad
+        else:
+            if mesh is not None:
+                xb = shard_batch(mesh, xb)
+            m = eval_step(params, xb)
+            tot_r += float(m["R"]) * b
+            tot_d += float(m["D"]) * b
         n += b
     if n == 0:
         return float("nan"), float("nan")
@@ -46,12 +64,15 @@ def validate(eval_step, params, val_loader, mesh=None):
 class Trainer:
     def __init__(self, cfg: Config, run_name: str = "default_run",
                  use_mesh: bool = False, sample_shape=None,
-                 final_ckpt: str | None = None):
+                 final_ckpt: str | None = None, log_name: str | None = None):
         self.cfg = cfg
         self.run_name = run_name
         # final checkpoint name; defaults to the reference's alpha{λ}lambda,
         # zoo quality sweeps pass e.g. "bmshj2018_q3"
         self.final_ckpt = final_ckpt
+        # CSV log filename; zoo sweeps pass "train_log_{family}_q{q}.csv" so
+        # logs are greppable by family/quality instead of converted-λ floats
+        self.log_name = log_name
         self.ckpt_dir = os.path.join(cfg.LOGGING.ckpt_dir, run_name)
         os.makedirs(self.ckpt_dir, exist_ok=True)
 
@@ -77,6 +98,11 @@ class Trainer:
         self.global_step = 0
         self.epoch = 0
         self.best_val_r = float("inf")
+        # best-val selection (TRAIN.select == "best") goes by the full
+        # validation objective λ·D + R, not R alone (lowest-R would just pick
+        # the most-compressed checkpoint regardless of distortion)
+        self.best_val_loss = float("inf")
+        self._best_path: str | None = None
         self._key = jax.random.PRNGKey(cfg.TRAIN.seed + 1)
         # step count at the start of the current epoch: lets resume re-enter
         # a partially-trained epoch at the right batch offset instead of
@@ -94,6 +120,7 @@ class Trainer:
         return save_checkpoint(path, self.state, extra={
             "epoch": self.epoch, "step": self.global_step,
             "best_val_R": self.best_val_r,
+            "best_val_loss": self.best_val_loss,
             "lambda_rd": self.cfg.LOSS.lambda_rd,
             "epoch_start_step": self._epoch_start_step,
             "noise_key": np.asarray(self._key).tolist()})
@@ -105,12 +132,19 @@ class Trainer:
         self.epoch = int(extra.get("epoch", 0))
         self.global_step = int(extra.get("step", 0))
         self.best_val_r = float(extra.get("best_val_R", float("inf")))
+        self.best_val_loss = float(extra.get("best_val_loss", float("inf")))
         if "noise_key" in extra:
             self._key = jnp.asarray(extra["noise_key"], jnp.uint32)
         if "epoch_start_step" in extra:
             self._epoch_start_step = int(extra["epoch_start_step"])
             self._resume_mid_epoch = True
         self._resumed = True
+        # recover the newest best-val checkpoint so TRAIN.select == "best"
+        # survives preemption even if no further improvement happens
+        bests = sorted(d for d in os.listdir(self.ckpt_dir)
+                       if d.endswith("_best"))
+        if bests:
+            self._best_path = os.path.join(self.ckpt_dir, bests[-1])
 
     # --- the loop ----------------------------------------------------------
 
@@ -120,9 +154,11 @@ class Trainer:
         lam = self.cfg.LOSS.lambda_rd
         lam_tag = int(lam) if float(lam).is_integer() else lam
         csv = CsvLogger(os.path.join(self.ckpt_dir,
-                                     f"train_log_lambda{lam_tag}.csv"),
+                                     self.log_name
+                                     or f"train_log_lambda{lam_tag}.csv"),
                         ["step", "epoch", "loss", "R_bpp", "D", "msssim",
-                         "grad_norm", "sec_per_step"])
+                         "grad_norm", "sec_per_step"],
+                        append=self.global_step > 0)
         t_last = time.perf_counter()
         # mid-epoch resume: re-enter the partial epoch, skipping the batches
         # it already consumed, so step counts match a non-preempted run
@@ -182,11 +218,14 @@ class Trainer:
                         val_r, val_d = validate(self.eval_step,
                                                 self.state.params, val_loader,
                                                 self.mesh)
+                        val_loss = lam * val_d + val_r
                         log_fn(f"[step {self.global_step}] val R={val_r:.3f} "
-                               f"bpp | val (1-MS-SSIM)={val_d:.5f}")
-                        if val_r < self.best_val_r:
+                               f"bpp | val D={val_d:.5f} | "
+                               f"val loss={val_loss:.4f}")
+                        if val_loss < self.best_val_loss:
+                            self.best_val_loss = val_loss
                             self.best_val_r = val_r
-                            self.save(best=True)
+                            self._best_path = self.save(best=True)
 
                     if max_steps and self.global_step >= max_steps:
                         return self.finalize()
@@ -195,7 +234,18 @@ class Trainer:
             csv.close()
 
     def finalize(self) -> str:
-        """Save the final lambda-named checkpoint (train.py:227-235)."""
+        """Save the final lambda-named checkpoint (train.py:227-235). With
+        TRAIN.select == "best" the params are taken from the lowest-val-loss
+        checkpoint seen during fit (falling back to final-step params if
+        validation never ran)."""
+        if (getattr(self.cfg.TRAIN, "select", "last") == "best"
+                and self._best_path is not None):
+            best_state, extra = restore_checkpoint(self._best_path, self.state)
+            if self.mesh is not None:
+                best_state = shard_state(best_state, self.mesh)
+            self.state = best_state
+            self.global_step = int(extra.get("step", self.global_step))
+            self.epoch = int(extra.get("epoch", self.epoch))
         path = self.save(
             name=self.final_ckpt or ckpt_name(self.cfg.LOSS.lambda_rd))
         return path

@@ -10,13 +10,18 @@ from typing import Sequence
 
 
 class CsvLogger:
-    def __init__(self, path: str, fieldnames: Sequence[str]):
+    def __init__(self, path: str, fieldnames: Sequence[str],
+                 append: bool = False):
+        """``append=True`` keeps an existing file's rows (resumed training
+        runs continue their log instead of truncating the history)."""
         self.path = path
         self.fieldnames = list(fieldnames)
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        self._fh = open(path, "w", newline="")
+        existing = append and os.path.exists(path) and os.path.getsize(path)
+        self._fh = open(path, "a" if append else "w", newline="")
         self._writer = csv.DictWriter(self._fh, fieldnames=self.fieldnames)
-        self._writer.writeheader()
+        if not existing:
+            self._writer.writeheader()
 
     def log(self, **row):
         self._writer.writerow({k: row.get(k, "") for k in self.fieldnames})

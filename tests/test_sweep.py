@@ -100,3 +100,58 @@ def test_vmapped_sweep_end_to_end_checkpoints(tmp_path):
                                    make_plots=False)
     assert len(curve["bpp"]) == 2
     assert np.all(np.isfinite(curve["bpp"]))
+
+
+def test_sweep_kill_and_resume_matches_uninterrupted(tmp_path):
+    """Preempt the vmapped sweep mid-epoch; auto-resume from sweep_state must
+    land on the same step count AND bit-comparable final params as an
+    uninterrupted run (round-2 VERDICT weak #4: the sweep was the designated
+    long-job trainer but could not resume)."""
+    lambdas = [10.0, 1000.0]
+    batches = [synthetic_patches(2, (48, 48), seed=s) for s in range(4)]
+    val = [synthetic_patches(2, (48, 48), seed=99)]
+
+    def run(name, ckdir, stop=None, resume=False):
+        cfg = _tiny_cfg(**{"LOGGING.ckpt_dir": ckdir,
+                           "LOGGING.log_every": 2, "LOGGING.val_every": 2,
+                           "TRAIN.epochs": 2})
+        return train_sweep_vmapped(cfg, lambdas, list(batches), list(val),
+                                   run_name=name, max_steps=stop,
+                                   log_fn=lambda *_: None, resume=resume)
+
+    full = run("full", str(tmp_path / "a"))          # 2 epochs x 4 = 8 steps
+    run("res", str(tmp_path / "b"), stop=5)          # preempt mid-epoch 2
+    resumed = run("res", str(tmp_path / "b"), resume=True)
+
+    from dsic_tpu.utils.checkpoint import restore_checkpoint
+    for pf, pr in zip(full, resumed):
+        sf, ef = restore_checkpoint(pf)
+        sr, er = restore_checkpoint(pr)
+        assert int(ef["step"]) == int(er["step"]) == 8
+        for a, b in zip(jax.tree.leaves(sf["params"]),
+                        jax.tree.leaves(sr["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_sweep_best_val_selection_and_logs(tmp_path):
+    """TRAIN.select='best': each alpha ckpt carries the per-lambda
+    lowest-val-loss params (tracked via the device-side masked update), and
+    per-lambda CSV training logs are written."""
+    lambdas = [10.0, 1000.0]
+    cfg = _tiny_cfg(**{"LOGGING.ckpt_dir": str(tmp_path / "c"),
+                       "LOGGING.log_every": 2, "LOGGING.val_every": 2,
+                       "TRAIN.epochs": 1, "TRAIN.select": "best"})
+    batches = [synthetic_patches(2, (48, 48), seed=s) for s in range(4)]
+    val = [synthetic_patches(2, (48, 48), seed=99)]
+    paths = train_sweep_vmapped(cfg, lambdas, batches, val,
+                                run_name="bsel", log_fn=lambda *_: None)
+    from dsic_tpu.utils.checkpoint import restore_checkpoint
+    for p in paths:
+        _, extra = restore_checkpoint(p)
+        assert int(extra["selected_best"]) == 1
+        assert np.isfinite(float(extra["best_val_loss"]))
+    for lam in (10, 1000):
+        log = tmp_path / "c" / "bsel" / f"train_log_lambda{lam}.csv"
+        assert log.exists()
+        assert len(log.read_text().strip().splitlines()) >= 2

@@ -139,3 +139,68 @@ def test_trainer_mid_epoch_resume_matches_step_count(tmp_path):
     t2.fit(batches)
     assert t2.global_step == 12, t2.global_step
     assert t2.epoch == 3
+
+
+def test_cosine_lr_schedule():
+    """OPTIM.lr_schedule='cosine' decays peak lr -> lr*min_lr_ratio over
+    decay_steps (and rejects a missing decay_steps)."""
+    import dataclasses
+    import pytest
+    from dsic_tpu.train.state import make_lr
+    cfg = _tiny_cfg(**{"OPTIM.lr_schedule": "cosine",
+                       "OPTIM.decay_steps": 100,
+                       "OPTIM.warmup_steps": 10,
+                       "OPTIM.min_lr_ratio": 0.1})
+    sched = make_lr(cfg)
+    assert float(sched(0)) == 0.0  # warmup start
+    np.testing.assert_allclose(float(sched(10)), 1e-4, rtol=1e-6)  # peak
+    np.testing.assert_allclose(float(sched(100)), 1e-5, rtol=1e-5)  # floor
+    bad = _tiny_cfg(**{"OPTIM.lr_schedule": "cosine"})
+    with pytest.raises(ValueError):
+        make_lr(bad)
+
+
+def test_trainer_best_val_selection(tmp_path):
+    """TRAIN.select='best': the final alpha ckpt carries the params of the
+    lowest-val-loss step, not the last step (VERDICT r2 next #1b)."""
+    from dsic_tpu.train.trainer import Trainer
+    cfg = _tiny_cfg(**{
+        "LOSS.lambda_rd": 10.0, "LOSS.dist": "mse",
+        "TRAIN.epochs": 2, "TRAIN.select": "best",
+        "LOGGING.ckpt_dir": str(tmp_path / "ck"),
+        "LOGGING.log_every": 100, "LOGGING.val_every": 2})
+    batches = [synthetic_patches(2, (48, 48), seed=s) for s in range(4)]
+    val = [synthetic_patches(2, (48, 48), seed=99)]
+    t = Trainer(cfg, run_name="bsel", sample_shape=(1, 48, 48, 3))
+    final = t.fit(batches, val)
+    assert t._best_path is not None
+    best_state, best_extra = restore_checkpoint(t._best_path, t.state)
+    fin_state, fin_extra = restore_checkpoint(final, t.state)
+    # final ckpt == the best-val params, stamped with the best step
+    assert int(fin_extra["step"]) == int(best_extra["step"])
+    for a, b in zip(jax.tree.leaves(fin_state.params),
+                    jax.tree.leaves(best_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_validate_mesh_tail_exact():
+    """validate() on a mesh with a tail batch that does NOT divide the
+    'data' axis must be exact (replicate-pad + row-0 correction), matching
+    the no-mesh result (round-2 ADVICE medium: 3-row tail on an 8-device
+    mesh raised in shard_batch)."""
+    from dsic_tpu.train.trainer import validate
+    from dsic_tpu.train.steps import make_eval_step
+    from dsic_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg(**{"LOSS.lambda_rd": 50.0, "LOSS.dist": "mse"})
+    model, tx, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                          sample_shape=(1, 48, 48, 3))
+    eval_step = make_eval_step(model, 50.0, dist="mse")
+    # val set of 11 = one full batch of 8 + a 3-row tail on an 8-wide axis
+    val = [synthetic_patches(8, (48, 48), seed=1),
+           synthetic_patches(3, (48, 48), seed=2)]
+    mesh = make_mesh(8, 1)
+    r_mesh, d_mesh = validate(eval_step, state.params, val, mesh)
+    r_ref, d_ref = validate(eval_step, state.params, val, None)
+    np.testing.assert_allclose(r_mesh, r_ref, rtol=1e-5)
+    np.testing.assert_allclose(d_mesh, d_ref, rtol=1e-5)

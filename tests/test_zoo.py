@@ -264,10 +264,13 @@ def test_cheng_quality_presets():
     assert model.N == model.M == 128
     model6, lam6 = build_zoo_model("cheng2020_checkerboard", 6)
     assert model6.N == 192 and lam6 > lam
-    assert zoo_qualities("cheng2020_checkerboard") == [1, 2, 3, 4, 5, 6]
+    # q7/q8: the round-3 overlap extension above compressai's 6-point grid
+    assert zoo_qualities("cheng2020_checkerboard") == list(range(1, 9))
+    model8, lam8 = build_zoo_model("cheng2020_checkerboard", 8)
+    assert model8.N == 192 and lam8 > lam6
     assert zoo_qualities("bmshj2018") == list(range(1, 9))
     with pytest.raises(ValueError):
-        build_zoo_model("cheng2020_checkerboard", 7)
+        build_zoo_model("cheng2020_checkerboard", 9)
 
 
 def test_cheng_codec_two_pass_roundtrip():
