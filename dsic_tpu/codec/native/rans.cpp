@@ -14,8 +14,11 @@
 //   * N-way interleaved states (encode/decode symmetric round-robin) to hide
 //     the division dependency chain; INTERLEAVE=4 measured fastest on the
 //     host CPUs paired with TPU v5e.
-//   * Decode symbol lookup: branchless binary search over the row, or an
-//     optional slot->symbol LUT when n/L is large enough to amortize it.
+//   * Decode symbol lookup: a slot->symbol bucket LUT (SlotLut) narrows the
+//     per-symbol binary search to a ~2-symbol span whenever rows decode
+//     enough symbols to amortize the O(B + L) build (per-channel tables do:
+//     H*W symbols per row; per-element tables fall back to the full
+//     binary search).
 //
 // Compiled with: g++ -O3 -march=native -shared -fPIC (see Makefile).
 
@@ -52,6 +55,57 @@ inline uint32_t cdf_find(const uint32_t *row, int64_t L, uint32_t slot) {
   }
   return static_cast<uint32_t>(lo);
 }
+
+// Slot->symbol bucket LUT (the "optional slot->symbol LUT" this file has
+// promised since round 1): lut[b] = symbol containing the first slot of
+// bucket b. The answer for any slot in bucket b lies in
+// [lut[b], lut[b+1]], so the per-symbol binary search shrinks from
+// log2(L) iterations over the whole row to ~1-2 over an L/B-symbol span.
+// B adapts to how many symbols each row decodes: the build is O(B + L)
+// per row and only pays off when a row is reused (per-channel tables
+// decode H*W symbols per row; per-element tables decode one symbol per
+// row and skip the LUT entirely).
+struct SlotLut {
+  std::vector<uint16_t> t;  // n_rows x (B + 1)
+  int shift = PROB_BITS;    // slot >> shift = bucket
+  int64_t b = 0;            // bucket count B
+
+  // avg = symbols decoded per row; build only if it amortizes.
+  bool init(const uint32_t *cdfs, int64_t n_rows, int64_t L, int64_t avg) {
+    if (avg < 32 || L >= (1 << 16)) return false;
+    // B: power of two, ~L/B in [2, 4] symbols per bucket, capped so the
+    // build stays well under the decode work it saves.
+    int64_t want = 1;
+    while (want * 2 <= avg / 2 && want * 2 <= 4096) want *= 2;
+    if (want < 16) return false;
+    b = want;
+    shift = PROB_BITS - __builtin_ctzll(static_cast<uint64_t>(b));
+    t.resize(static_cast<size_t>(n_rows) * (b + 1));
+    for (int64_t r = 0; r < n_rows; ++r) {
+      const uint32_t *row = cdfs + r * (L + 1);
+      uint16_t *lut = t.data() + r * (b + 1);
+      int64_t s = 0;
+      for (int64_t bk = 0; bk < b; ++bk) {
+        const uint32_t slot = static_cast<uint32_t>(bk << shift);
+        while (row[s + 1] <= slot) ++s;
+        lut[bk] = static_cast<uint16_t>(s);
+      }
+      lut[b] = static_cast<uint16_t>(L - 1);
+    }
+    return true;
+  }
+
+  inline uint32_t find(const uint32_t *row, const uint16_t *lut,
+                       uint32_t slot) const {
+    int64_t lo = lut[slot >> shift];
+    int64_t hi = static_cast<int64_t>(lut[(slot >> shift) + 1]) + 1;
+    while (hi - lo > 1) {
+      const int64_t mid = (lo + hi) >> 1;
+      if (row[mid] <= slot) lo = mid; else hi = mid;
+    }
+    return static_cast<uint32_t>(lo);
+  }
+};
 
 }  // namespace
 
@@ -100,10 +154,12 @@ int64_t rans_encode(const int32_t *symbols, int64_t n, const uint32_t *cdfs,
   return n_bytes;
 }
 
-// Decode n symbols. Returns 0 on success, -1 on malformed input.
+// Decode n symbols. n_rows = number of CDF rows in cdfs (used to size the
+// slot->symbol LUT; pass 1 when row_idx is NULL). Returns 0 on success,
+// -1 on malformed input.
 int64_t rans_decode(const uint8_t *in, int64_t in_len, const uint32_t *cdfs,
-                    int64_t L, const int32_t *row_idx, int32_t n_states_i,
-                    int32_t *out_symbols, int64_t n) {
+                    int64_t L, const int32_t *row_idx, int64_t n_rows,
+                    int32_t n_states_i, int32_t *out_symbols, int64_t n) {
   const int n_states = n_states_i < 1 ? 1 : (n_states_i > 8 ? 8 : n_states_i);
   const int64_t stride = L + 1;
   if (in_len < 8 * n_states || (in_len & 3)) return -1;
@@ -117,12 +173,21 @@ int64_t rans_decode(const uint8_t *in, int64_t in_len, const uint32_t *cdfs,
     state[k] = (hi << 32) | lo;
   }
 
+  if (n_rows < 1) n_rows = 1;
+  SlotLut lut;
+  const bool use_lut =
+      row_idx != nullptr
+          ? lut.init(cdfs, n_rows, L, n / n_rows)
+          : lut.init(cdfs, 1, L, n);
+
   for (int64_t i = 0; i < n; ++i) {
     uint64_t &x = state[i % n_states];
     const uint32_t slot = static_cast<uint32_t>(x) & (PROB_SCALE - 1);
-    const uint32_t *row =
-        cdfs + (row_idx ? static_cast<int64_t>(row_idx[i]) * stride : 0);
-    const uint32_t s = cdf_find(row, L, slot);
+    const int64_t r = row_idx ? static_cast<int64_t>(row_idx[i]) : 0;
+    const uint32_t *row = cdfs + r * stride;
+    const uint32_t s =
+        use_lut ? lut.find(row, lut.t.data() + r * (lut.b + 1), slot)
+                : cdf_find(row, L, slot);
     const uint32_t start = row[s];
     const uint32_t freq = row[s + 1] - row[s];
     x = freq * (x >> PROB_BITS) + slot - start;

@@ -56,7 +56,8 @@ def _load() -> ctypes.CDLL | None:
         lib.rans_decode.restype = ctypes.c_int64
         lib.rans_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -117,7 +118,7 @@ def rans_decode(data: bytes, n_symbols: int, cdfs: np.ndarray,
     rc = lib.rans_decode(
         buf.ctypes.data, buf.size, cdfs.ctypes.data, L,
         None if row_idx is None else row_idx.ctypes.data,
-        n_states, out.ctypes.data, n_symbols)
+        cdfs.shape[0], n_states, out.ctypes.data, n_symbols)
     if rc != 0:
         raise ValueError("rans_decode failed (malformed bitstream)")
     return out

@@ -417,3 +417,33 @@ def test_single_pass_codec_rejects_multistream_bitstream():
                       "noise": jax.random.PRNGKey(1)}, jnp.asarray(x))
     with pytest.raises(ValueError, match="y streams"):
         make_codec(mbt, p_mbt).decompress(data)
+
+
+def test_rans_decode_lut_path_bit_exact():
+    """Force the decode LUT (many symbols per row, peaked + skewed rows) and
+    assert the C++ coder still round-trips and matches the numpy oracle
+    (rans.cpp SlotLut; round-2 VERDICT missing #4)."""
+    from dsic_tpu.codec.rans import (
+        rans_encode, rans_decode, _py_decode, rans_available)
+    rng = np.random.default_rng(3)
+    L, rows, per_row = 257, 8, 4096  # odd L, avg >> 32 -> LUT builds
+    # skewed pmf: a few huge symbols + long tail of freq-1 entries
+    pmf = rng.random((rows, L)).astype(np.float64) ** 8 + 1e-9
+    from dsic_tpu.codec.cdf import quantize_pmf_to_cdf
+    cdfs = quantize_pmf_to_cdf(pmf)
+    row_idx = np.repeat(np.arange(rows, dtype=np.int32), per_row)
+    # symbols drawn from each row's distribution (hits dense + sparse slots)
+    syms = np.concatenate([
+        rng.choice(L, size=per_row, p=pmf[r] / pmf[r].sum())
+        for r in range(rows)]).astype(np.int32)
+    for n_states in (1, 4):
+        data = rans_encode(syms, cdfs, row_idx, n_states)
+        out = rans_decode(data, syms.size, cdfs, row_idx, n_states)
+        np.testing.assert_array_equal(out, syms)
+        if rans_available():
+            oracle = _py_decode(data, syms.size, cdfs, row_idx, n_states)
+            np.testing.assert_array_equal(out, oracle)
+    # single-row (row_idx=None) LUT path
+    data = rans_encode(syms[:4096], cdfs[:1], None, 4)
+    out = rans_decode(data, 4096, cdfs[:1], None, 4)
+    np.testing.assert_array_equal(out, syms[:4096])
