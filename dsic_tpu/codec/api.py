@@ -87,7 +87,57 @@ class Codec:
         # one CDF row per y ELEMENT (vs per channel); stored in the bitstream
         # header so decode picks the matching row index layout
         self._per_element_y = bool(getattr(model, "spatial_params", False))
+        self._build_wire_jits()
         self._build_model_jits()
+
+    def _build_wire_jits(self):
+        """Family-independent device<->host wire helpers: per-image latent
+        min/max (bounds from bytes, not planes), u8 offset packing for the
+        y plane in both directions (halves the dominant latent transfer
+        whenever the bucketed support fits 256 symbols — every sane trained
+        model), and the inverse unpack."""
+        self._minmax = jax.jit(lambda t: (
+            jnp.min(t, axis=(1, 2, 3)).astype(jnp.int32),
+            jnp.max(t, axis=(1, 2, 3)).astype(jnp.int32)))
+        self._offset_u8 = jax.jit(lambda t, lo: (
+            t.astype(jnp.int32) - lo[:, None, None, None]).astype(jnp.uint8))
+        self._deoffset_i16 = jax.jit(lambda t, lo: (
+            t.astype(jnp.int32) + lo[:, None, None, None]).astype(jnp.int16))
+
+    def _bounds_from_minmax(self, mm, tail: int, bucket: int):
+        """Device (min, max) handles -> per-image (lo, bucketed L); same
+        values _bounds computes from the full host plane."""
+        lo = np.asarray(mm[0]).astype(np.int64) - tail
+        hi = np.asarray(mm[1]).astype(np.int64) + tail
+        l_per = np.asarray([pad_support(int(h - l + 1), bucket)
+                            for l, h in zip(lo, hi)], np.int32)
+        if l_per.max() > Codec.MAX_SUPPORT:
+            raise ValueError(
+                f"latent symbol range {int(l_per.max())} exceeds MAX_SUPPORT="
+                f"{Codec.MAX_SUPPORT}; the checkpoint looks diverged "
+                "(CDF tables would need gigabytes)")
+        return lo.astype(np.int32), l_per
+
+    def _fetch_y_symbols(self, y_q, y_lo: np.ndarray, ly_per: np.ndarray):
+        """Download the y plane as per-image SYMBOLS (y - lo): u8 wire when
+        every image's support fits 256 symbols, else int16 minus lo on host.
+        Returns (B, yh*yw*yc) int32."""
+        b = y_q.shape[0]
+        if int(ly_per.max()) <= 256:
+            off = np.asarray(self._offset_u8(y_q, self._put(y_lo)))
+            return off.reshape(b, -1).astype(np.int32)
+        y_np = np.asarray(y_q).astype(np.int32).reshape(b, -1)
+        return y_np - y_lo[:, None]
+
+    def _put_y_plane(self, y_vals: np.ndarray, y_lo: np.ndarray,
+                     ly_per: np.ndarray):
+        """Upload decoded ABSOLUTE y values: u8 offset wire when the support
+        fits (deoffset back to int16 on device), else int16 directly."""
+        if int(ly_per.max()) <= 256:
+            off = (y_vals.astype(np.int32)
+                   - y_lo[:, None, None, None]).astype(np.uint8)
+            return self._deoffset_i16(self._put(off), self._put(y_lo))
+        return self._put(y_vals)
 
     def _put(self, x) -> jax.Array:
         """Host array -> device, batch-sharded over the mesh if configured."""
@@ -212,14 +262,16 @@ class Codec:
     def _device_encode(self, x: np.ndarray):
         """Dispatch the device-side encoder work (non-blocking). The hyper
         maps never come to the host — both modes fuse hyper-decode into the
-        pmf call at table-build time."""
+        pmf call at table-build time. Per-image latent min/max reduce on
+        device too, so the host can derive CDF supports from a few bytes
+        instead of downloading whole latent planes to scan them."""
         b, h, w, _ = x.shape
         m = getattr(self.model, "pad_multiple", 16)
         if h % m or w % m:
             raise ValueError(f"pad input to a multiple of {m} first "
                              "(ops.pad_to_multiple)")
         y_q, z_q = self._encode_latents(self.params, self._put(x))
-        return (h, w), y_q, z_q
+        return (h, w), y_q, z_q, self._minmax(y_q), self._minmax(z_q)
 
     def _chunked_pmf_tables(self, pmf_fn, dev_args: tuple,
                             y_lo: np.ndarray, l_per: np.ndarray,
@@ -251,8 +303,14 @@ class Codec:
         for i in range(0, b, chunk):
             lo_dev = self._put(np.asarray(y_lo[i:i + chunk], np.int32))
             sliced = [a[i:i + chunk] for a in dev_args]
-            pmfs.append(np.asarray(pmf_fn(self.params, *sliced,
-                                          lo_dev, L_pad)))
+            # pmf crosses the wire as float16 (halves the table transfer,
+            # the decode leg's largest download). Encoder and decoder share
+            # this exact cast, so quantized CDF tables stay bitwise equal on
+            # both sides; the [1e-12, 1] clamp upstream plus the coder's
+            # freq>=1 floor absorb f16 subnormal flushes (bpp cost < 0.1%).
+            pmf16 = pmf_fn(self.params, *sliced, lo_dev, L_pad) \
+                .astype(jnp.float16)
+            pmfs.append(np.asarray(pmf16).astype(np.float32))
         pmf = pmfs[0] if len(pmfs) == 1 else np.concatenate(pmfs, axis=0)
         return self._per_image_quantize(pmf, l_per)
 
@@ -272,20 +330,22 @@ class Codec:
         return self._chunked_pmf_tables(fn, (z_dev,), y_lo, l_per, rows)
 
     def _host_encode(self, handles) -> CompressResult:
-        (h, w), y_q, z_q = handles
+        (h, w), y_q, z_q, y_mm, z_mm = handles
         b = y_q.shape[0]
         yh, yw, yc = y_q.shape[1:]
         zh, zw, zc = z_q.shape[1:]
-        y_np = np.asarray(y_q).astype(np.int64)  # int16 on the wire
-        z_np = np.asarray(z_q).astype(np.int64)
 
         tail = self.cfg.tail
         n_states = self.cfg.interleave
         bucket = self.cfg.support_bucket
         spatial = self._per_element_y
 
-        z_lo, lz_per = self._bounds(z_np, tail, bucket)
-        y_lo, ly_per = self._bounds(y_np, tail, bucket)
+        z_lo, lz_per = self._bounds_from_minmax(z_mm, tail, bucket)
+        y_lo, ly_per = self._bounds_from_minmax(y_mm, tail, bucket)
+        z_np = np.asarray(z_q).astype(np.int64)  # tiny plane, int16 wire
+        # y crosses as u8 symbols (y - lo) when the support fits: the y
+        # plane is the dominant latent transfer
+        y_syms = self._fetch_y_symbols(y_q, y_lo, ly_per)
         z_cdfs = self._z_tables(z_lo, lz_per)
         y_cdfs = self._y_tables_fused(z_q, y_lo, ly_per, (yh, yw))
 
@@ -295,9 +355,8 @@ class Codec:
 
         def encode_one(i: int):
             z_sym = (z_np[i].ravel() - z_lo[i]).astype(np.int32)
-            y_sym = (y_np[i].ravel() - y_lo[i]).astype(np.int32)
             z_bytes = rans_encode(z_sym, z_cdfs[i], z_row_idx, n_states)
-            y_bytes = rans_encode(y_sym, y_cdfs[i], y_row_idx, n_states)
+            y_bytes = rans_encode(y_syms[i], y_cdfs[i], y_row_idx, n_states)
             return z_bytes, y_bytes
 
         with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
@@ -401,12 +460,13 @@ class Codec:
                 return np.asarray(u8).astype(np.float32) / 255.0
             return np.asarray(jnp.clip(
                 self._synth_cached(self.params, y_hat_dev), 0.0, 1.0))
+        y_lo = np.asarray([bd[2] for bd in bs.bounds], np.int32)
+        ly_per = np.asarray([bd[3] - bd[2] + 1 for bd in bs.bounds], np.int32)
+        y_dev = self._put_y_plane(y_sym, y_lo, ly_per)
         if quantize_output:
-            u8 = self._synthesize_u8(self.params, self._put(y_sym),
-                                     self._put(z_sym))
+            u8 = self._synthesize_u8(self.params, y_dev, self._put(z_sym))
             return np.asarray(u8).astype(np.float32) / 255.0
-        x_hat = self._synthesize(self.params, self._put(y_sym),
-                                 self._put(z_sym))
+        x_hat = self._synthesize(self.params, y_dev, self._put(z_sym))
         return np.asarray(jnp.clip(x_hat, 0.0, 1.0))
 
     # --- introspection (round-trip tests) ----------------------------------
@@ -475,7 +535,9 @@ class ZooCodec(Codec):
             g = jnp.broadcast_to(grid[:, :, None], (lo.shape[0], L_pad, n))
             cu = model.apply(p, g + 0.5, method=model.z_cdf)
             cl = model.apply(p, g - 0.5, method=model.z_cdf)
-            return jnp.clip(cu - cl, 1e-12, 1.0).transpose(0, 2, 1)
+            # f16 wire, same on both sides (see _chunked_pmf_tables)
+            return jnp.clip(cu - cl, 1e-12, 1.0).transpose(0, 2, 1) \
+                .astype(jnp.float16)
 
         self._z_pmf = jax.jit(_z_pmf, static_argnums=(2,))
 
@@ -500,7 +562,8 @@ class ZooCodec(Codec):
         for L in np.unique(l_per):
             idx = np.where(l_per == L)[0]
             pmf = np.asarray(self._z_pmf(
-                self.params, jnp.asarray(z_lo[idx], jnp.int32), int(L)))
+                self.params, jnp.asarray(z_lo[idx], jnp.int32),
+                int(L))).astype(np.float32)
             rows = quantize_pmf_to_cdf(
                 pmf.reshape(len(idx) * self.model.N, int(L))
             ).reshape(len(idx), self.model.N, int(L) + 1)
@@ -586,7 +649,7 @@ class CheckerboardCodec(ZooCodec):
                                         int(sel_dev.shape[0]))
 
     def _host_encode(self, handles) -> CompressResult:
-        (h, w), y_q, z_q = handles
+        (h, w), y_q, z_q, y_mm, z_mm = handles
         b = y_q.shape[0]
         yh, yw, yc = y_q.shape[1:]
         zh, zw, zc = z_q.shape[1:]
@@ -599,8 +662,10 @@ class CheckerboardCodec(ZooCodec):
         # (8 bytes/state) dominates, so drop to one state there
         n_states = self.cfg.interleave \
             if yh * yw * yc // 2 >= 4096 else 1
-        z_lo, lz_per = self._bounds(z_np, tail, self.cfg.support_bucket)
-        y_lo, ly_per = self._bounds(y_np, tail, self.cfg.support_bucket)
+        z_lo, lz_per = self._bounds_from_minmax(z_mm, tail,
+                                                self.cfg.support_bucket)
+        y_lo, ly_per = self._bounds_from_minmax(y_mm, tail,
+                                                self.cfg.support_bucket)
         z_cdfs = self._z_tables(z_lo, lz_per)
 
         a_idx, na_idx = self._split_idx(yh, yw, yc)
@@ -755,7 +820,7 @@ class ChannelCodec(ZooCodec):
                                         y_lo, l_per, rows)
 
     def _host_encode(self, handles) -> CompressResult:
-        (h, w), y_q, z_q = handles
+        (h, w), y_q, z_q, y_mm, z_mm = handles
         b = y_q.shape[0]
         yh, yw, yc = y_q.shape[1:]
         zh, zw, zc = z_q.shape[1:]
@@ -768,8 +833,10 @@ class ChannelCodec(ZooCodec):
         # adaptive interleave: K small per-slice streams pay K*states flush
         # overhead — one state per stream on small tiles
         n_states = self.cfg.interleave if yh * yw * sl >= 4096 else 1
-        z_lo, lz_per = self._bounds(z_np, tail, self.cfg.support_bucket)
-        y_lo, ly_per = self._bounds(y_np, tail, self.cfg.support_bucket)
+        z_lo, lz_per = self._bounds_from_minmax(z_mm, tail,
+                                                self.cfg.support_bucket)
+        y_lo, ly_per = self._bounds_from_minmax(y_mm, tail,
+                                                self.cfg.support_bucket)
         z_cdfs = self._z_tables(z_lo, lz_per)
         z_row_idx = _channel_row_idx(zh, zw, zc)
         rows_k = yh * yw * sl

@@ -15,7 +15,8 @@ depend on previously-decoded passes, so the passes cannot share one stream:
 
 Layout (little-endian):
     magic   4s   b"DSTC"
-    version u8   2
+    version u8   3  (v3: f16-wire CDF tables -> tables differ from v2;
+                     old streams must fail loudly, not decode garbage)
     flags   u8   bit0: spatial_params
     n_states u8  rANS interleave factor
     tail    u8
@@ -34,7 +35,7 @@ import struct
 from dataclasses import dataclass, field
 
 MAGIC = b"DSTC"
-VERSION = 2
+VERSION = 3
 _HEAD = struct.Struct("<4sBBBBB7H2H")
 
 FILE_SUFFIX = ".dsic"

@@ -508,4 +508,4 @@ def test_cheng_gmm_zoo_registry():
     model, lam = build_zoo_model("cheng2020_gmm", 1)
     assert model.mixtures == 3 and model.N == model.M == 128
     from dsic_tpu.models.zoo import zoo_qualities
-    assert zoo_qualities("cheng2020_gmm") == [1, 2, 3, 4, 5, 6]
+    assert zoo_qualities("cheng2020_gmm") == list(range(1, 9))
