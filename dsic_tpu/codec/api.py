@@ -933,14 +933,229 @@ class ChannelCodec(ZooCodec):
         return y_out, z_hat, prefix
 
 
+class ElicCodec(ZooCodec):
+    """2K-pass entropy codec for the joint space-channel context family
+    (models/elic.py ElicHyperprior): per channel slice, anchors decode
+    first (tables from hyper features + decoded prefix), then non-anchors
+    (tables additionally conditioned on the slice's decoded anchors via the
+    masked context conv) — 2K rANS streams per image, 2K dense device
+    passes total, the TPU-native equivalent of mbt2018's serial joint
+    context (SURVEY.md section 2 #19; He 2022 SCCTX).
+
+    Decodability invariant: both sides build tables through the SAME jitted
+    slice functions. The anchor-dequant masks its symbol input internally
+    (mask * (sym + mu)), so the encoder may feed the full slice symbols
+    while the decoder feeds anchor-scattered ones — finite values at masked
+    positions multiply to exactly 0.0, leaving the conditioning tensor (and
+    therefore every downstream table) bitwise identical."""
+
+    def _build_model_jits(self):
+        model = self.model
+        self._build_zoo_common_jits()
+        self._y_pmf_from_z = None
+        self._y_pmf_from_z_spatial = None
+
+        def _pmf_a(p, z, prefix, lo, L_pad, sel):
+            sigma, _ = model.apply(p, z.astype(jnp.float32), prefix,
+                                   method=model.slice_anchor_params)
+            rows = jnp.maximum(sigma.reshape(sigma.shape[0], -1)[:, sel],
+                               self.SIGMA_MIN)
+            return gaussian_bin_probs(rows, lo, L_pad)
+
+        def _pmf_na(p, z, prefix, y_anchor_hat, lo, L_pad, sel):
+            sigma, _ = model.apply(p, z.astype(jnp.float32), prefix,
+                                   y_anchor_hat,
+                                   method=model.slice_nonanchor_params)
+            rows = jnp.maximum(sigma.reshape(sigma.shape[0], -1)[:, sel],
+                               self.SIGMA_MIN)
+            return gaussian_bin_probs(rows, lo, L_pad)
+
+        def _deq_a(p, z, prefix, syms):
+            return model.apply(p, z.astype(jnp.float32), prefix, syms,
+                               method=model.slice_anchor_dequant)
+
+        def _deq_joint(p, z, prefix, y_anchor_hat, syms_na):
+            return model.apply(p, z.astype(jnp.float32), prefix,
+                               y_anchor_hat, syms_na,
+                               method=model.slice_joint_dequant)
+
+        self._pmf_a = jax.jit(_pmf_a, static_argnums=(4,))
+        self._pmf_na = jax.jit(_pmf_na, static_argnums=(5,))
+        self._deq_a = jax.jit(_deq_a)
+        self._deq_joint = jax.jit(_deq_joint)
+
+    def _pass_tables(self, pmf_jit, args, y_lo, l_per, sel_dev) -> list:
+        fn = lambda p, *a: pmf_jit(p, *a, sel_dev)  # noqa: E731
+        return self._chunked_pmf_tables(fn, tuple(args), y_lo, l_per,
+                                        int(sel_dev.shape[0]))
+
+    def _host_encode(self, handles) -> CompressResult:
+        (h, w), y_q, z_q, y_mm, z_mm = handles
+        b = y_q.shape[0]
+        yh, yw, yc = y_q.shape[1:]
+        zh, zw, zc = z_q.shape[1:]
+        y_np = np.asarray(y_q).astype(np.int64)
+        z_np = np.asarray(z_q).astype(np.int64)
+        sl = self.model.slice_size
+        n_slices = self.model.num_slices
+
+        tail = self.cfg.tail
+        # 2K half-slice streams: drop to one rANS state on small tiles
+        n_states = self.cfg.interleave if yh * yw * sl // 2 >= 4096 else 1
+        z_lo, lz_per = self._bounds_from_minmax(z_mm, tail,
+                                                self.cfg.support_bucket)
+        y_lo, ly_per = self._bounds_from_minmax(y_mm, tail,
+                                                self.cfg.support_bucket)
+        z_cdfs = self._z_tables(z_lo, lz_per)
+        z_row_idx = _channel_row_idx(zh, zw, zc)
+
+        a_idx, na_idx = CheckerboardCodec._split_idx(yh, yw, sl)
+        a_sel = jnp.asarray(a_idx, jnp.int32)
+        na_sel = jnp.asarray(na_idx, jnp.int32)
+        a_rows = np.arange(len(a_idx), dtype=np.int32)
+        na_rows = np.arange(len(na_idx), dtype=np.int32)
+
+        y_streams: list = []
+        prefix = self._put(np.zeros((b, yh, yw, 0), np.float32))
+        for k in range(n_slices):
+            syms_dev = jax.lax.slice_in_dim(y_q, k * sl, (k + 1) * sl,
+                                            axis=3)
+            cdfs_a = self._pass_tables(self._pmf_a, (z_q, prefix),
+                                       y_lo, ly_per, a_sel)
+            # full slice symbols: the internal mask zeroes non-anchors
+            y_anchor_hat = self._deq_a(self.params, z_q, prefix, syms_dev)
+            cdfs_na = self._pass_tables(self._pmf_na,
+                                        (z_q, prefix, y_anchor_hat),
+                                        y_lo, ly_per, na_sel)
+            prefix = self._deq_joint(self.params, z_q, prefix, y_anchor_hat,
+                                     syms_dev)
+
+            flat = y_np[:, :, :, k * sl:(k + 1) * sl].reshape(b, -1)
+
+            def enc_one(i, cdfs_a=cdfs_a, cdfs_na=cdfs_na, flat=flat):
+                s_a = (flat[i, a_idx] - y_lo[i]).astype(np.int32)
+                s_na = (flat[i, na_idx] - y_lo[i]).astype(np.int32)
+                return (rans_encode(s_a, cdfs_a[i], a_rows, n_states),
+                        rans_encode(s_na, cdfs_na[i], na_rows, n_states))
+
+            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+                pairs = list(pool.map(enc_one, range(b)))
+            y_streams.append([p[0] for p in pairs])
+            y_streams.append([p[1] for p in pairs])
+
+        def enc_z(i):
+            z_sym = (z_np[i].ravel() - z_lo[i]).astype(np.int32)
+            return rans_encode(z_sym, z_cdfs[i], z_row_idx, n_states)
+
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            z_payloads = list(pool.map(enc_z, range(b)))
+
+        bounds = [(int(z_lo[i]), int(z_lo[i]) + int(lz_per[i]) - 1,
+                   int(y_lo[i]), int(y_lo[i]) + int(ly_per[i]) - 1)
+                  for i in range(b)]
+        bs = Bitstream(y_shape=(b, yh, yw, yc), z_shape=(b, zh, zw, zc),
+                       bounds=bounds, z_payloads=z_payloads,
+                       y_streams=y_streams, spatial_params=True,
+                       n_states=n_states, tail=tail)
+        data = pack_bitstream(bs)
+        per_image_bits = [
+            8 * (len(z_payloads[i]) + sum(len(st[i]) for st in y_streams))
+            for i in range(b)]
+        payload_bits = float(sum(per_image_bits))
+        return CompressResult(
+            data=data,
+            bpp=payload_bits / (b * h * w),
+            bpp_container=8.0 * len(data) / (b * h * w),
+            per_image_bits=per_image_bits)
+
+    def _decode_planes(self, bs: Bitstream):
+        n_slices = self.model.num_slices
+        if bs.n_y_streams != 2 * n_slices:
+            raise ValueError(f"bitstream has {bs.n_y_streams} y streams; "
+                             f"this model decodes {2 * n_slices}")
+        b, yh, yw, yc = bs.y_shape
+        _, zh, zw, zc = bs.z_shape
+        sl = self.model.slice_size
+        z_lo = np.asarray([bd[0] for bd in bs.bounds], np.int32)
+        y_lo = np.asarray([bd[2] for bd in bs.bounds], np.int32)
+        lz_per = np.asarray([bd[1] - bd[0] + 1 for bd in bs.bounds], np.int32)
+        ly_per = np.asarray([bd[3] - bd[2] + 1 for bd in bs.bounds], np.int32)
+        if (max(lz_per.max(), ly_per.max()) > Codec.MAX_SUPPORT
+                or min(lz_per.min(), ly_per.min()) < 1):
+            raise ValueError("corrupt bitstream: implausible symbol range")
+
+        z_cdfs = self._z_tables(z_lo, lz_per)
+        z_row_idx = _channel_row_idx(zh, zw, zc)
+
+        def decode_z(i: int) -> np.ndarray:
+            sym = rans_decode(bs.z_payloads[i], zh * zw * zc, z_cdfs[i],
+                              z_row_idx, bs.n_states)
+            return (sym + z_lo[i]).astype(np.int16).reshape(zh, zw, zc)
+
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
+        z_dev = self._put(z_hat)
+
+        a_idx, na_idx = CheckerboardCodec._split_idx(yh, yw, sl)
+        a_sel = jnp.asarray(a_idx, jnp.int32)
+        na_sel = jnp.asarray(na_idx, jnp.int32)
+        a_rows = np.arange(len(a_idx), dtype=np.int32)
+        na_rows = np.arange(len(na_idx), dtype=np.int32)
+
+        y_out = np.zeros((b, yh, yw, yc), np.int16)
+        prefix = self._put(np.zeros((b, yh, yw, 0), np.float32))
+        for k in range(n_slices):
+            cdfs_a = self._pass_tables(self._pmf_a, (z_dev, prefix),
+                                       y_lo, ly_per, a_sel)
+
+            def dec_a(i, k=k, cdfs_a=cdfs_a):
+                sym = rans_decode(bs.y_streams[2 * k][i], len(a_idx),
+                                  cdfs_a[i], a_rows, bs.n_states)
+                return (sym + y_lo[i]).astype(np.int16)
+
+            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+                a_syms = list(pool.map(dec_a, range(b)))
+            slice_flat = np.zeros((b, yh * yw * sl), np.int16)
+            for i in range(b):
+                slice_flat[i, a_idx] = a_syms[i]
+            y_anchor_hat = self._deq_a(
+                self.params, z_dev, prefix,
+                self._put(slice_flat.reshape(b, yh, yw, sl)))
+
+            cdfs_na = self._pass_tables(self._pmf_na,
+                                        (z_dev, prefix, y_anchor_hat),
+                                        y_lo, ly_per, na_sel)
+
+            def dec_na(i, k=k, cdfs_na=cdfs_na):
+                sym = rans_decode(bs.y_streams[2 * k + 1][i], len(na_idx),
+                                  cdfs_na[i], na_rows, bs.n_states)
+                return (sym + y_lo[i]).astype(np.int16)
+
+            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+                na_syms = list(pool.map(dec_na, range(b)))
+            for i in range(b):
+                slice_flat[i, na_idx] = na_syms[i]
+            slice_syms = slice_flat.reshape(b, yh, yw, sl)
+            prefix = self._deq_joint(self.params, z_dev, prefix,
+                                     y_anchor_hat, self._put(slice_syms))
+            y_out[..., k * sl:(k + 1) * sl] = slice_syms
+        # `prefix` is the fully dequantized y — synthesis skips the 2K-pass
+        # recursion
+        return y_out, z_hat, prefix
+
+
 def make_codec(model, params, cfg: CodecConfig | None = None,
                compute_dtype=None, mesh=None) -> Codec:
     """Model-family dispatch: the Student-t DSIC codec, the zoo's
     Gaussian-conditional codec (any model exposing the zoo codec protocol:
     z_cdf / y_scales / decode_y), the two-pass checkerboard codec
-    (anchor_params / nonanchor_params / decode_anchor), or the K-pass
-    channel-conditional codec (slice_pmf_params / slice_dequant)."""
-    if hasattr(model, "slice_pmf_params"):
+    (anchor_params / nonanchor_params / decode_anchor), the K-pass
+    channel-conditional codec (slice_pmf_params / slice_dequant), or the
+    2K-pass joint space-channel codec (slice_anchor_params /
+    slice_joint_dequant)."""
+    if hasattr(model, "slice_anchor_params"):
+        cls = ElicCodec
+    elif hasattr(model, "slice_pmf_params"):
         cls = ChannelCodec
     elif hasattr(model, "anchor_params"):
         cls = CheckerboardCodec

@@ -331,6 +331,7 @@ class MeanScaleHyperprior(nn.Module):
 # transform classes defined above
 from dsic_tpu.models.cheng import Cheng2020Checkerboard  # noqa: E402
 from dsic_tpu.models.charm import ChannelARHyperprior  # noqa: E402
+from dsic_tpu.models.elic import ElicHyperprior  # noqa: E402
 
 import functools  # noqa: E402
 
@@ -342,6 +343,10 @@ ZOO_FAMILIES = {
     # checkerboard-context transforms (models/cheng.py mixtures)
     "cheng2020_gmm": functools.partial(Cheng2020Checkerboard, mixtures=3),
     "charm2020": ChannelARHyperprior,
+    # joint space-channel context (checkerboard x channel slices) — the
+    # TPU-native point at compressai mbt2018's joint-AR capability level
+    # (models/elic.py; He 2022 SCCTX)
+    "elic2022": ElicHyperprior,
 }
 
 # cheng2020's grid: 6 qualities, y channels == N (compressai cheng2020_attn,

@@ -39,7 +39,27 @@ def restore_checkpoint(path: str, target_state: Any | None = None):
         template = {"state": jax.device_get(target_state)}
         if "extra" in raw:
             template["extra"] = raw["extra"]
-        payload = ckptr.restore(path, template)
+        try:
+            payload = ckptr.restore(path, template)
+        except ValueError:
+            # Optimizer-state tree mismatch: e.g. a checkpoint trained with
+            # an LR schedule restored into a constant-lr template (the eval
+            # suite's default). Evaluation only needs params — graft the
+            # restored params (and step) onto the target structure and keep
+            # the template's freshly-initialized opt_state. Resuming
+            # TRAINING across different OPTIM configs intentionally loses
+            # optimizer moments here; the warning says so.
+            if not hasattr(target_state, "params"):
+                raise
+            import warnings
+            warnings.warn(
+                f"checkpoint {path} has a different optimizer-state "
+                "structure than the restore template (different "
+                "OPTIM.lr_schedule?); restoring params only")
+            state = target_state.replace(
+                params=raw["state"]["params"],
+                step=raw["state"].get("step", target_state.step))
+            return state, raw.get("extra", {})
     else:
         payload = ckptr.restore(path)
     return payload["state"], payload.get("extra", {})

@@ -204,3 +204,28 @@ def test_validate_mesh_tail_exact():
     r_ref, d_ref = validate(eval_step, state.params, val, None)
     np.testing.assert_allclose(r_mesh, r_ref, rtol=1e-5)
     np.testing.assert_allclose(d_mesh, d_ref, rtol=1e-5)
+
+
+def test_restore_across_optimizer_schedules(tmp_path):
+    """A checkpoint trained with a cosine LR schedule must restore into the
+    eval suite's constant-lr template (params grafted, warning emitted) —
+    otherwise every schedule-trained alpha ckpt is unreadable at eval."""
+    import warnings
+    cfg_cos = _tiny_cfg(**{"OPTIM.lr_schedule": "cosine",
+                           "OPTIM.decay_steps": 10,
+                           "LOSS.lambda_rd": 10.0, "LOSS.dist": "mse"})
+    model, tx, state = create_train_state(cfg_cos, jax.random.PRNGKey(0),
+                                          sample_shape=(1, 48, 48, 3))
+    path = save_checkpoint(str(tmp_path / "cos_ck"), state,
+                           extra={"step": 5})
+    cfg_const = _tiny_cfg()
+    _, _, tmpl = create_train_state(cfg_const, jax.random.PRNGKey(1),
+                                    sample_shape=(1, 48, 48, 3))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        restored, extra = restore_checkpoint(path, tmpl)
+    assert any("optimizer-state structure" in str(x.message) for x in w)
+    assert int(extra["step"]) == 5
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
