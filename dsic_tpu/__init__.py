@@ -24,3 +24,16 @@ utils     Checkpointing (orbax), CSV metrics logging, image I/O.
 """
 
 __version__ = "0.1.0"
+
+# Platform override for subprocess-driven tooling (scripts/, CI smoke tests):
+# the axon TPU plugin ignores the JAX_PLATFORMS env var, so forcing CPU from
+# the environment needs an in-process config update BEFORE any backend use.
+# DSIC_PLATFORM=cpu makes every `python -m dsic_tpu.*` entry point run on CPU
+# (e.g. so the reproduce_baseline.sh dry-run smoke test cannot contend with a
+# TPU training job).
+import os as _os
+
+if _os.environ.get("DSIC_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["DSIC_PLATFORM"])

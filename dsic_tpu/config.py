@@ -63,6 +63,10 @@ class ModelConfig:
     spatial_params: bool = False
     min_nu: float = 2.0
     max_nu: float = 100.0
+    # channel-slice width for the slice-conditional families (charm2020,
+    # elic2022): K = M / slice_size. 32 is the Minnen-Singh 2020 layout;
+    # see demo_results charm_slice_ablation for the measured K trade-off.
+    slice_size: int = 32
 
 
 @dataclass

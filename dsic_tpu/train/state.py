@@ -74,7 +74,12 @@ def build_model(cfg: Config, train_dtype=None):
         if family not in ZOO_FAMILIES:
             raise ValueError(f"unknown MODEL.family {family!r}; have "
                              f"['dsic'] + {sorted(ZOO_FAMILIES)}")
-        return ZOO_FAMILIES[family](N=cfg.MODEL.N, M=cfg.MODEL.M, dtype=dtype)
+        cls = ZOO_FAMILIES[family]
+        kw = {}
+        fields = getattr(getattr(cls, "func", cls), "__dataclass_fields__", {})
+        if "slice_size" in fields:  # charm2020 / elic2022: K = M / slice_size
+            kw["slice_size"] = getattr(cfg.MODEL, "slice_size", 32)
+        return cls(N=cfg.MODEL.N, M=cfg.MODEL.M, dtype=dtype, **kw)
     return CompressionModel(
         N=cfg.MODEL.N, M=cfg.MODEL.M,
         spatial_params=cfg.MODEL.spatial_params,

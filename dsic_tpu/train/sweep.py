@@ -142,10 +142,21 @@ class SweepTrainer:
     SWEEP_CKPT = "sweep_state"
 
     def __init__(self, cfg: Config, lambdas, run_name: str = "sweep",
-                 sample_shape=(1, 128, 128, 3)):
+                 sample_shape=(1, 128, 128, 3), ckpt_names=None,
+                 sweep_ckpt: str | None = None):
+        """ckpt_names: per-λ final checkpoint names (default the reference's
+        alpha{λ}lambda). A ZOO QUALITY sweep passes e.g. ["bmshj2018_q1",
+        ...] plus a distinct ``sweep_ckpt`` so concurrent/successive grouped
+        sweeps under one run dir don't collide — every quality of one
+        (N, M) group trains in ONE vmapped step, like the flagship λ grid."""
         self.cfg = cfg
         self.lambdas = list(lambdas)
         self.run_name = run_name
+        self.ckpt_names = list(ckpt_names) if ckpt_names else None
+        if self.ckpt_names and len(self.ckpt_names) != len(self.lambdas):
+            raise ValueError("ckpt_names must match lambdas")
+        if sweep_ckpt:
+            self.SWEEP_CKPT = sweep_ckpt
         self.ckpt_dir = os.path.join(cfg.LOGGING.ckpt_dir, run_name)
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.model, self.tx, self.state = init_sweep_state(
@@ -217,10 +228,12 @@ class SweepTrainer:
             log_fn=print) -> list[str]:
         cfg = self.cfg
         csvs = {}
-        for lam in self.lambdas:
+        for i, lam in enumerate(self.lambdas):
             tag = int(lam) if float(lam).is_integer() else lam
+            log_name = (f"train_log_{self.ckpt_names[i]}.csv"
+                        if self.ckpt_names else f"train_log_lambda{tag}.csv")
             csvs[lam] = CsvLogger(
-                os.path.join(self.ckpt_dir, f"train_log_lambda{tag}.csv"),
+                os.path.join(self.ckpt_dir, log_name),
                 ["step", "epoch", "loss", "R_bpp", "D", "msssim",
                  "grad_norm", "sec_per_step"],
                 append=self.global_step > 0)
@@ -327,7 +340,9 @@ class SweepTrainer:
                 opt_state=jax.device_get(
                     jax.tree.map(lambda a: a[i], self.state.opt_state)),
                 step=jnp.asarray(self.global_step, jnp.int32))
-            path = os.path.join(self.ckpt_dir, ckpt_name(lam))
+            path = os.path.join(self.ckpt_dir,
+                                self.ckpt_names[i] if self.ckpt_names
+                                else ckpt_name(lam))
             # int flag, not a string: orbax StandardCheckpointer rejects str
             extra = {"epoch": self.epoch, "step": self.global_step,
                      "lambda_rd": float(lam),
@@ -341,12 +356,15 @@ class SweepTrainer:
 
 def train_sweep_vmapped(cfg: Config, lambdas, train_loader, val_loader=None,
                         run_name: str = "sweep", max_steps: int | None = None,
-                        log_fn=print, resume: bool = True) -> list[str]:
-    """Drive the vmapped sweep; saves one `alpha{λ}lambda` checkpoint per λ.
-    Auto-resumes from `{ckpt_dir}/{run_name}/sweep_state` when present
+                        log_fn=print, resume: bool = True, ckpt_names=None,
+                        sweep_ckpt: str | None = None) -> list[str]:
+    """Drive the vmapped sweep; saves one `alpha{λ}lambda` checkpoint per λ
+    (or ``ckpt_names``). Auto-resumes from
+    `{ckpt_dir}/{run_name}/{sweep_ckpt or "sweep_state"}` when present
     (resume=True). Returns the checkpoint paths."""
     trainer = SweepTrainer(cfg, lambdas, run_name=run_name,
-                           sample_shape=_probe_sample_shape(train_loader))
+                           sample_shape=_probe_sample_shape(train_loader),
+                           ckpt_names=ckpt_names, sweep_ckpt=sweep_ckpt)
     if resume and trainer.restore_sweep():
         log_fn(f"[{run_name}] resumed sweep at step {trainer.global_step} "
                f"(epoch {trainer.epoch})")

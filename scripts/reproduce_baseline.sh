@@ -40,6 +40,12 @@ mkdir -p "$WORK" "$OUT"
 EPOCHS="${EPOCHS:-30}"
 MAX_STEPS="${MAX_STEPS:-}"
 MAX_IMAGES="${MAX_IMAGES:-1000}"
+# Grid overrides for smoke tests (defaults reproduce the reference grids)
+LAMBDAS="${LAMBDAS:-}"
+QUALITIES="${QUALITIES:-1,2,3,4,5,6,7,8}"
+COMPARE_LAMBDAS="${COMPARE_LAMBDAS:-10,100,1000}"
+LAMBDA_ARGS=()
+[[ -n "$LAMBDAS" ]] && LAMBDA_ARGS+=(--lambdas "$LAMBDAS")
 STEP_ARGS=()
 [[ -n "$MAX_STEPS" ]] && STEP_ARGS+=(--max_steps "$MAX_STEPS")
 
@@ -78,12 +84,12 @@ fi
 
 echo "== 8-lambda training sweep (reference grid, MS-SSIM loss) =="
 python -m dsic_tpu.train.cli --data_root "$DATA" --run_name repro \
-    --lambda_sweep --epochs "$EPOCHS" "${STEP_ARGS[@]}"
+    --lambda_sweep --epochs "$EPOCHS" "${STEP_ARGS[@]}" "${LAMBDA_ARGS[@]}"
 CKPT=checkpoints/repro
 
 echo "== live bmshj2018 baseline: quality sweep on the same data =="
 python -m dsic_tpu.train.cli --data_root "$DATA" --run_name repro \
-    --family bmshj2018 --quality_sweep 1,2,3,4,5,6,7,8 \
+    --family bmshj2018 --quality_sweep "$QUALITIES" \
     --epochs "$EPOCHS" "${STEP_ARGS[@]}"
 
 echo "== RD evaluation ($MAX_IMAGES images, reference CSV schemas) =="
@@ -97,10 +103,10 @@ python -m dsic_tpu.eval.cli bd --ckpt_root "$CKPT" --images "$DATA" \
 echo "== bpp-matched visual comparisons (JPEG + live bmshj2018) =="
 FIRST_IMG="$(ls "$DATA"/*.png | head -1)"
 python -m dsic_tpu.eval.cli compare --ckpt_root "$CKPT" \
-    --image "$FIRST_IMG" --out "$OUT/compare_jpeg" --lambdas 10,100,1000
+    --image "$FIRST_IMG" --out "$OUT/compare_jpeg" --lambdas "$COMPARE_LAMBDAS"
 python -m dsic_tpu.eval.cli compare --ckpt_root "$CKPT" \
     --image "$FIRST_IMG" --out "$OUT/compare_bmshj" --vs bmshj2018 \
-    --lambdas 10,100,1000
+    --lambdas "$COMPARE_LAMBDAS"
 
 echo "== latent-distribution analysis =="
 python -m dsic_tpu.eval.cli latents --ckpt "$CKPT/alpha1000lambda" \

@@ -155,3 +155,45 @@ def test_sweep_best_val_selection_and_logs(tmp_path):
         log = tmp_path / "c" / "bsel" / f"train_log_lambda{lam}.csv"
         assert log.exists()
         assert len(log.read_text().strip().splitlines()) >= 2
+
+
+def test_zoo_quality_vmap_groups_and_checkpoints(tmp_path, monkeypatch):
+    """--quality_vmap: qualities sharing (N, M) train in ONE vmapped sweep,
+    saving {family}_q{q}-named checkpoints the zoo eval path loads."""
+    from dsic_tpu.models.zoo import ZOO_QUALITY
+    from dsic_tpu.train import cli
+    from dsic_tpu.utils.checkpoint import restore_checkpoint
+    from dsic_tpu.utils.image_io import save_image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        save_image(str(img_dir / f"im{i}.png"),
+                   rng.random((64, 64, 3)).astype(np.float32))
+    # two tiny same-(N,M) presets -> one vmapped group; q3 differs -> its own
+    monkeypatch.setitem(ZOO_QUALITY, 1, dict(N=8, M=16, lam=10.0))
+    monkeypatch.setitem(ZOO_QUALITY, 2, dict(N=8, M=16, lam=100.0))
+    monkeypatch.setitem(ZOO_QUALITY, 3, dict(N=12, M=16, lam=200.0))
+
+    cfg_py = tmp_path / "cfg.py"
+    cfg_py.write_text(
+        "class LOGGING:\n"
+        f"    ckpt_dir = {str(tmp_path / 'ck')!r}\n"
+        "    log_every = 2\n"
+        "    val_every = 100\n"
+        "class TRAIN:\n"
+        "    amp = False\n")
+    cli.main(["--config", str(cfg_py), "--data_root", str(img_dir),
+              "--run_name", "qv", "--family", "bmshj2018",
+              "--quality_sweep", "1,2,3", "--quality_vmap",
+              "--max_steps", "2", "--epochs", "10", "--batch_size", "4"])
+    ckdir = tmp_path / "ck" / "qv"
+    for q in (1, 2, 3):
+        assert (ckdir / f"bmshj2018_q{q}").is_dir()
+        assert (ckdir / f"train_log_bmshj2018_q{q}.csv").exists()
+    # two groups -> two distinct kill-safe sweep states
+    assert (ckdir / "sweep_state_bmshj2018_8x16").is_dir()
+    assert (ckdir / "sweep_state_bmshj2018_12x16").is_dir()
+    _, extra = restore_checkpoint(str(ckdir / "bmshj2018_q2"))
+    assert float(extra["lambda_rd"]) == 100.0
