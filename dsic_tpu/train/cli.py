@@ -19,6 +19,9 @@ def main(argv=None):
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--run_name", type=str, default="default_run")
     p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--ckpt_dir", type=str, default=None,
+                   help="LOGGING.ckpt_dir override (checkpoints land in "
+                        "{ckpt_dir}/{run_name})")
     p.add_argument("--lambda_rd", type=float, default=None)
     p.add_argument("--lambda_sweep", action="store_true",
                    help="train one checkpoint per lambda on the reference grid")
@@ -65,6 +68,8 @@ def main(argv=None):
     overrides = {}
     if args.data_root:
         overrides["DATA.root"] = args.data_root
+    if args.ckpt_dir:
+        overrides["LOGGING.ckpt_dir"] = args.ckpt_dir
     if args.lambda_rd is not None:
         overrides["LOSS.lambda_rd"] = args.lambda_rd
     if args.epochs is not None:

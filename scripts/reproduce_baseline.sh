@@ -84,11 +84,13 @@ fi
 
 echo "== 8-lambda training sweep (reference grid, MS-SSIM loss) =="
 python -m dsic_tpu.train.cli --data_root "$DATA" --run_name repro \
+    --ckpt_dir "$WORK/checkpoints" \
     --lambda_sweep --epochs "$EPOCHS" "${STEP_ARGS[@]}" "${LAMBDA_ARGS[@]}"
-CKPT=checkpoints/repro
+CKPT="$WORK/checkpoints/repro"
 
 echo "== live bmshj2018 baseline: quality sweep on the same data =="
 python -m dsic_tpu.train.cli --data_root "$DATA" --run_name repro \
+    --ckpt_dir "$WORK/checkpoints" \
     --family bmshj2018 --quality_sweep "$QUALITIES" \
     --epochs "$EPOCHS" "${STEP_ARGS[@]}"
 
@@ -101,7 +103,9 @@ python -m dsic_tpu.eval.cli bd --ckpt_root "$CKPT" --images "$DATA" \
     --out "$OUT/bd" --max_images "$MAX_IMAGES" --live bmshj2018
 
 echo "== bpp-matched visual comparisons (JPEG + live bmshj2018) =="
-FIRST_IMG="$(ls "$DATA"/*.png | head -1)"
+# no `ls | head` here: under pipefail, head closing the pipe early can
+# SIGPIPE ls and kill the whole script (observed flake) — use the glob
+for FIRST_IMG in "$DATA"/*.png; do break; done
 python -m dsic_tpu.eval.cli compare --ckpt_root "$CKPT" \
     --image "$FIRST_IMG" --out "$OUT/compare_jpeg" --lambdas "$COMPARE_LAMBDAS"
 python -m dsic_tpu.eval.cli compare --ckpt_root "$CKPT" \
