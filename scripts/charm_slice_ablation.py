@@ -16,7 +16,11 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import sys
 import time
+
+# Runnable from anywhere: scripts/ lives beside the package root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
