@@ -27,7 +27,7 @@ def test_reproduce_baseline_dry_run(tmp_path):
     proc = subprocess.run(
         ["bash", os.path.join(REPO, "scripts", "reproduce_baseline.sh"),
          "--dry-run", str(work)],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
     assert proc.returncode == 0, (
         f"dry-run failed\nstdout tail:\n{proc.stdout[-3000:]}\n"
         f"stderr tail:\n{proc.stderr[-3000:]}")
