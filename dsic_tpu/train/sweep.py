@@ -287,7 +287,15 @@ class SweepTrainer:
                     if (val_loader is not None and self.global_step
                             % cfg.LOGGING.val_every == 0):
                         self._validate_and_track(val_loader, log_fn)
-                        self.save_sweep()
+                        # kill-safety save: a failure here (the save layer
+                        # already retries transient FS races) must not kill
+                        # the very run it exists to protect — best params
+                        # live on device and re-save at the next cadence
+                        try:
+                            self.save_sweep()
+                        except Exception as e:
+                            log_fn(f"WARN: periodic sweep save failed ({e}); "
+                                   "training continues")
 
                     if max_steps and self.global_step >= max_steps:
                         return self._finalize(val_loader, log_fn)

@@ -223,9 +223,18 @@ class Trainer:
                                f"bpp | val D={val_d:.5f} | "
                                f"val loss={val_loss:.4f}")
                         if val_loss < self.best_val_loss:
-                            self.best_val_loss = val_loss
-                            self.best_val_r = val_r
-                            self._best_path = self.save(best=True)
+                            # a failed best-save must not kill the run (the
+                            # save layer already retries transient FS races)
+                            # NOR advance best_val_loss past the params
+                            # actually on disk
+                            try:
+                                self._best_path = self.save(best=True)
+                                self.best_val_loss = val_loss
+                                self.best_val_r = val_r
+                            except Exception as e:
+                                log_fn(f"WARN: best-checkpoint save failed "
+                                       f"({e}); training continues, best "
+                                       "params remain the previous save")
 
                     if max_steps and self.global_step >= max_steps:
                         return self.finalize()

@@ -6,6 +6,9 @@ training survives preemption (SURVEY.md section 5)."""
 from __future__ import annotations
 
 import os
+import shutil
+import time
+import warnings
 from typing import Any
 
 import jax
@@ -13,18 +16,41 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(path: str, state: Any, extra: dict | None = None) -> str:
+def save_checkpoint(path: str, state: Any, extra: dict | None = None,
+                    retries: int = 2) -> str:
     """Save a pytree (TrainState or params) plus optional metadata dict.
-    ``path`` is a directory (orbax format). Returns the path."""
+    ``path`` is a directory (orbax format). Returns the path.
+
+    Retries transient filesystem races: orbax's async OCDBT commit
+    intermittently fails on this class of VM filesystem with
+    ``NOT_FOUND ... Failed to rename ... .__lock [ENOENT]`` inside its own
+    tmp directory (observed twice across multi-hour sweep runs, each time
+    killing an 8000-step training job at a PERIODIC kill-safety save — the
+    exact save whose whole purpose is surviving faults). A failed attempt
+    removes the poisoned ``*.orbax-checkpoint-tmp`` dir and re-saves; the
+    committed final directory is only ever replaced atomically, so a failed
+    attempt never corrupts the previous good checkpoint."""
     path = os.path.abspath(path)
     payload = {"state": jax.device_get(state)}
     if extra:
         payload["extra"] = {k: np.asarray(v) if not isinstance(v, (str, bytes))
                             else v for k, v in extra.items()}
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
-    return path
+    last_err = None
+    for attempt in range(retries + 1):
+        try:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, payload, force=True)
+            ckptr.wait_until_finished()
+            return path
+        except Exception as e:  # transient FS race; clean tmp and retry
+            last_err = e
+            shutil.rmtree(path + ".orbax-checkpoint-tmp", ignore_errors=True)
+            if attempt < retries:
+                warnings.warn(f"checkpoint save to {path} failed "
+                              f"(attempt {attempt + 1}/{retries + 1}): {e}; "
+                              "retrying")
+                time.sleep(1.0 + attempt)
+    raise last_err
 
 
 def restore_checkpoint(path: str, target_state: Any | None = None):

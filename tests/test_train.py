@@ -4,6 +4,7 @@ save/restore round-trips, trainer loop runs end to end with validation."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from dsic_tpu.config import Config, load_config, ckpt_name
 from dsic_tpu.data.synthetic import synthetic_patches
@@ -66,6 +67,37 @@ def test_checkpoint_roundtrip(tmp_path):
                  state.params, state2.params)
     assert int(extra["step"]) == 7
     assert float(extra["best_val_R"]) == 1.25
+
+
+def test_checkpoint_save_retries_transient_failure(tmp_path, monkeypatch):
+    """A transient orbax/FS failure (the observed async-OCDBT ENOENT rename
+    race) on the first save attempt must be retried, not raised: periodic
+    kill-safety saves crashing the job defeats their purpose."""
+    import dsic_tpu.utils.checkpoint as ckpt_mod
+
+    cfg = _tiny_cfg()
+    _, tx, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                      sample_shape=(1, 64, 64, 3))
+    real_cls = ckpt_mod.ocp.StandardCheckpointer
+    calls = {"n": 0}
+
+    class FlakyCheckpointer(real_cls):
+        def save(self, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ValueError(
+                    "NOT_FOUND: Error writing ... Failed to rename "
+                    "... .__lock [OS error 2: ENOENT]")
+            return real_cls.save(self, *a, **kw)
+
+    monkeypatch.setattr(ckpt_mod.ocp, "StandardCheckpointer",
+                        FlakyCheckpointer)
+    with pytest.warns(UserWarning, match="retrying"):
+        path = save_checkpoint(str(tmp_path / "ck_flaky"), state,
+                               extra={"step": 3})
+    assert calls["n"] == 2
+    _, extra = restore_checkpoint(path, state)
+    assert int(extra["step"]) == 3
 
 
 def test_trainer_end_to_end(tmp_path):
