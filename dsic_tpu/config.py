@@ -83,6 +83,14 @@ class TrainConfig:
     # (the reference's commented-out best-val save, train.py:215-225, made
     # first-class — required for monotone RD curves from finite-step sweeps).
     select: str = "last"
+    # Train-time quantization relaxation: "noise" = additive U(-0.5, 0.5)
+    # (reference behavior, model.py:27-35); "round" = STE rounding — used as
+    # a short FINE-TUNE stage after noise training so the rate term is
+    # minimized under the hard rounding the codec actually applies (zero-mean
+    # priors otherwise pay a model-dependent noise->round rate gap of up to
+    # ~0.5 bpp that scrambles low-rate sweep ordering; Minnen-Singh 2020
+    # section 4 trains its final models the same way).
+    quant_mode: str = "noise"
 
 
 @dataclass

@@ -85,10 +85,25 @@ def cmd_bd(args):
     cfg = _cfg(args)
     lambdas = ([float(s) for s in args.lambdas.split(",")]
                if getattr(args, "lambdas", None) else LAMBDA_GRID)
-    curve = evaluate_model_lambdas(cfg, args.ckpt_root, args.images, args.out,
-                                   lambdas=lambdas,
-                                   max_images=args.max_images,
-                                   make_plots=False)
+
+    def _read_curve(path):
+        """Reload an aggregate RD CSV written by a previous bd run (--reuse:
+        re-derive BD tables after re-evaluating only one leg)."""
+        import csv as _csv
+        with open(path, newline="") as f:
+            rows = list(_csv.DictReader(f))
+        return {k: np.asarray([float(r[k]) for r in rows])
+                for k in rows[0].keys()}
+
+    flag_csv = os.path.join(args.out, "agg_model_rd_summary.csv")
+    if getattr(args, "reuse", False) and os.path.exists(flag_csv):
+        print(f"[bd] reusing flagship curve {flag_csv}")
+        curve = _read_curve(flag_csv)
+    else:
+        curve = evaluate_model_lambdas(cfg, args.ckpt_root, args.images,
+                                       args.out, lambdas=lambdas,
+                                       max_images=args.max_images,
+                                       make_plots=False)
     for name, base in BASELINE_CURVES.items():
         m = bd_metrics(curve, base)
         with CsvLogger(os.path.join(args.out,
@@ -103,9 +118,14 @@ def cmd_bd(args):
     # + the balle-style overlay plots.
     live_curves = {}
     for family in (args.live.split(",") if args.live else []):
-        base = evaluate_zoo_qualities(cfg, args.ckpt_root, args.images,
-                                      args.out, family=family,
-                                      max_images=args.max_images)
+        fam_csv = os.path.join(args.out, f"agg_{family}_rd.csv")
+        if getattr(args, "reuse", False) and os.path.exists(fam_csv):
+            print(f"[bd] reusing {family} curve {fam_csv}")
+            base = _read_curve(fam_csv)
+        else:
+            base = evaluate_zoo_qualities(cfg, args.ckpt_root, args.images,
+                                          args.out, family=family,
+                                          max_images=args.max_images)
         if not len(base.get("quality", [])):
             print(f"[bd] WARN: no {family} checkpoints found; skipping")
             continue
@@ -332,6 +352,10 @@ def main(argv=None):
                     help="comma-separated flagship lambda grid (default: the "
                          "reference 8-point grid); extra points widen the "
                          "curve's rate range for BD overlap")
+    sp.add_argument("--reuse", action="store_true",
+                    help="reuse aggregate RD CSVs already in --out instead "
+                         "of re-evaluating those legs (incremental BD "
+                         "refresh after re-training one model set)")
     sp.add_argument("--live", default=None,
                     help="comma-separated zoo families with trained "
                          "{family}_q{q} checkpoints in ckpt_root for LIVE "

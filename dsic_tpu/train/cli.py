@@ -63,6 +63,19 @@ def main(argv=None):
     p.add_argument("--decay_steps", type=int, default=None,
                    help="total steps for the cosine schedule (defaults to "
                         "--max_steps when --lr_schedule cosine is given)")
+    p.add_argument("--quant_mode", type=str, default=None,
+                   choices=["noise", "round"],
+                   help="train-time quantization: noise (reference default) "
+                        "or round — the STE fine-tune stage "
+                        "(TRAIN.quant_mode)")
+    p.add_argument("--init_from", type=str, default=None,
+                   help="checkpoint run dir whose per-lambda checkpoints "
+                        "seed a --lambda_vmap sweep's params (fresh "
+                        "optimizer; used with --quant_mode round for the "
+                        "fine-tune stage)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="OPTIM.lr override (fine-tune stages want a small "
+                        "peak LR)")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -86,6 +99,10 @@ def main(argv=None):
         overrides["OPTIM.decay_steps"] = args.decay_steps
     elif args.lr_schedule == "cosine" and args.max_steps:
         overrides["OPTIM.decay_steps"] = args.max_steps
+    if args.quant_mode is not None:
+        overrides["TRAIN.quant_mode"] = args.quant_mode
+    if args.lr is not None:
+        overrides["OPTIM.lr"] = args.lr
     cfg = load_config(args.config, overrides)
 
     if args.family != "dsic" or args.quality or args.quality_sweep:
@@ -100,7 +117,10 @@ def main(argv=None):
         train_loader, val_loader = make_loaders(cfg)
         paths = train_sweep_vmapped(cfg, grid, train_loader,
                                     val_loader, run_name=args.run_name,
-                                    max_steps=args.max_steps)
+                                    max_steps=args.max_steps,
+                                    sweep_ckpt=("sweep_state_ft"
+                                                if args.init_from else None),
+                                    init_from=args.init_from)
         for p_ in paths:
             print(f"saved {p_}")
         return

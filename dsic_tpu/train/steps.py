@@ -18,15 +18,17 @@ from dsic_tpu.train.state import TrainState
 
 
 def make_train_step(model, tx, lambda_rd: float, dist: str = "msssim",
-                    donate: bool = True):
-    """Returns jitted (state, x, key) -> (state, metrics dict)."""
+                    donate: bool = True, quant_mode: str = "noise"):
+    """Returns jitted (state, x, key) -> (state, metrics dict).
+    ``quant_mode="round"`` trains through the STE rounding path (the
+    fine-tune stage; TrainConfig.quant_mode)."""
 
     def step(state: TrainState, x: jax.Array, key: jax.Array):
         if x.dtype == jnp.uint8:  # wire format: normalize on device
             x = x.astype(jnp.float32) * (1.0 / 255.0)
 
         def loss_fn(params):
-            out = model.apply(params, x, quant_mode="noise", train=True,
+            out = model.apply(params, x, quant_mode=quant_mode, train=True,
                               rngs={"noise": key})
             loss, r, d = rate_distortion_loss(out, x, lambda_rd=lambda_rd,
                                               dist=dist)
@@ -58,7 +60,7 @@ def make_eval_step(model, lambda_rd: float, dist: str = "msssim"):
 
 def make_sharded_train_step(model, tx, lambda_rd: float, mesh,
                             dist: str = "msssim", spatial: bool = False,
-                            donate: bool = True):
+                            donate: bool = True, quant_mode: str = "noise"):
     """Mesh-parallel train step. spatial=False: batch sharded over 'data',
     params/opt state replicated, gradient all-reduce inserted by XLA (GSPMD —
     proven numerically exact, tests/test_sharding.py). spatial=True: H is
@@ -77,7 +79,7 @@ def make_sharded_train_step(model, tx, lambda_rd: float, mesh,
             x = x.astype(jnp.float32) * (1.0 / 255.0)
 
         def loss_fn(params):
-            out = model.apply(params, x, quant_mode="noise", train=True,
+            out = model.apply(params, x, quant_mode=quant_mode, train=True,
                               rngs={"noise": key})
             loss, r, d = rate_distortion_loss(out, x, lambda_rd=lambda_rd,
                                               dist=dist)

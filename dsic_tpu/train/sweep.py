@@ -64,16 +64,17 @@ def init_sweep_state(cfg: Config, lambdas, rng, sample_shape):
 
 
 def make_sweep_train_step(model, tx, lambdas, dist: str = "msssim",
-                          donate: bool = True):
+                          donate: bool = True, quant_mode: str = "noise"):
     """(stacked_state, x, key) -> (stacked_state, per-λ metrics). The batch
     is SHARED across λ models (the reference's jobs iterate the same
-    dataset); the noise rng is split per model."""
+    dataset); the noise rng is split per model. ``quant_mode="round"``
+    trains through the STE rounding path (the fine-tune stage)."""
     lam_arr = jnp.asarray(lambdas, jnp.float32)
     n = len(lambdas)
 
     def one_model(state: TrainState, lam, key, x):
         def loss_fn(params):
-            out = model.apply(params, x, quant_mode="noise", train=True,
+            out = model.apply(params, x, quant_mode=quant_mode, train=True,
                               rngs={"noise": key})
             loss, r, d = rate_distortion_loss(out, x, lambda_rd=lam,
                                               dist=dist)
@@ -162,9 +163,9 @@ class SweepTrainer:
         self.model, self.tx, self.state = init_sweep_state(
             cfg, self.lambdas, jax.random.PRNGKey(cfg.TRAIN.seed),
             sample_shape)
-        self.train_step = make_sweep_train_step(self.model, self.tx,
-                                                self.lambdas,
-                                                dist=cfg.LOSS.dist)
+        self.train_step = make_sweep_train_step(
+            self.model, self.tx, self.lambdas, dist=cfg.LOSS.dist,
+            quant_mode=getattr(cfg.TRAIN, "quant_mode", "noise"))
         self.eval_step = make_sweep_eval_step(self.model, self.lambdas,
                                               dist=cfg.LOSS.dist)
         # stacked; per-λ masked updates. Copied (not aliased): the train step
@@ -178,6 +179,28 @@ class SweepTrainer:
         self._epoch_start_step = 0
         self._resume_mid_epoch = False
         self._resumed = False
+
+    def init_params_from(self, ckpt_dir: str, names=None) -> None:
+        """Seed the stacked sweep params from existing per-λ checkpoints
+        (the STE-round FINE-TUNE stage: prior noise-trained params, fresh
+        optimizer state and schedule). ``names`` defaults to this sweep's
+        own checkpoint names, so a fine-tune sweep over the same grid picks
+        up exactly the checkpoints its predecessor wrote."""
+        names = names or self.ckpt_names or [ckpt_name(l)
+                                             for l in self.lambdas]
+        if len(names) != len(self.lambdas):
+            raise ValueError("init_from names must match lambdas")
+        template = unstack_state(self.state, 0)
+        rows = []
+        for nm in names:
+            st_r, _ = restore_checkpoint(os.path.join(ckpt_dir, nm),
+                                         template)
+            rows.append(st_r.params)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+        self.state = TrainState(params=stacked,
+                                opt_state=self.state.opt_state,
+                                step=self.state.step)
+        self.best_params = jax.tree.map(jnp.copy, stacked)
 
     # --- checkpointing ----------------------------------------------------
 
@@ -365,16 +388,23 @@ class SweepTrainer:
 def train_sweep_vmapped(cfg: Config, lambdas, train_loader, val_loader=None,
                         run_name: str = "sweep", max_steps: int | None = None,
                         log_fn=print, resume: bool = True, ckpt_names=None,
-                        sweep_ckpt: str | None = None) -> list[str]:
+                        sweep_ckpt: str | None = None,
+                        init_from: str | None = None) -> list[str]:
     """Drive the vmapped sweep; saves one `alpha{λ}lambda` checkpoint per λ
     (or ``ckpt_names``). Auto-resumes from
     `{ckpt_dir}/{run_name}/{sweep_ckpt or "sweep_state"}` when present
-    (resume=True). Returns the checkpoint paths."""
+    (resume=True). ``init_from``: a checkpoint run directory whose per-λ
+    checkpoints seed the params (fine-tune stage; a mid-run sweep_state
+    resume takes precedence). Returns the checkpoint paths."""
     trainer = SweepTrainer(cfg, lambdas, run_name=run_name,
                            sample_shape=_probe_sample_shape(train_loader),
                            ckpt_names=ckpt_names, sweep_ckpt=sweep_ckpt)
     if resume and trainer.restore_sweep():
         log_fn(f"[{run_name}] resumed sweep at step {trainer.global_step} "
                f"(epoch {trainer.epoch})")
+    elif init_from:
+        trainer.init_params_from(init_from)
+        log_fn(f"[{run_name}] params seeded from {init_from} "
+               f"({len(trainer.lambdas)} checkpoints)")
     return trainer.fit(train_loader, val_loader, max_steps=max_steps,
                        log_fn=log_fn)

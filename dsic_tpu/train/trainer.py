@@ -88,11 +88,12 @@ class Trainer:
             self.state = shard_state(self.state, self.mesh)
             self.train_step = make_sharded_train_step(
                 self.model, self.tx, cfg.LOSS.lambda_rd, self.mesh,
-                dist=cfg.LOSS.dist)
+                dist=cfg.LOSS.dist,
+                quant_mode=getattr(cfg.TRAIN, "quant_mode", "noise"))
         else:
-            self.train_step = make_train_step(self.model, self.tx,
-                                              cfg.LOSS.lambda_rd,
-                                              dist=cfg.LOSS.dist)
+            self.train_step = make_train_step(
+                self.model, self.tx, cfg.LOSS.lambda_rd, dist=cfg.LOSS.dist,
+                quant_mode=getattr(cfg.TRAIN, "quant_mode", "noise"))
         self.eval_step = make_eval_step(self.model, cfg.LOSS.lambda_rd,
                                         dist=cfg.LOSS.dist)
         self.global_step = 0

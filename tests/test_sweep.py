@@ -197,3 +197,44 @@ def test_zoo_quality_vmap_groups_and_checkpoints(tmp_path, monkeypatch):
     assert (ckdir / "sweep_state_bmshj2018_12x16").is_dir()
     _, extra = restore_checkpoint(str(ckdir / "bmshj2018_q2"))
     assert float(extra["lambda_rd"]) == 100.0
+
+
+def test_sweep_ste_round_finetune_from_checkpoints(tmp_path):
+    """The STE-round fine-tune stage: a --quant_mode round sweep seeded
+    via init_from picks up the noise-trained per-λ checkpoints exactly,
+    trains through the rounding path, and re-saves loadable checkpoints."""
+    from dsic_tpu.train.sweep import SweepTrainer
+    from dsic_tpu.utils.checkpoint import restore_checkpoint
+
+    cfg = _tiny_cfg(**{"LOGGING.ckpt_dir": str(tmp_path / "ckpts"),
+                       "LOGGING.log_every": 2, "LOGGING.val_every": 100})
+    lambdas = [10.0, 1000.0]
+    batches = [synthetic_patches(2, (64, 64), seed=s) for s in range(2)]
+    stage1 = train_sweep_vmapped(cfg, lambdas, batches, run_name="ft",
+                                 max_steps=2, log_fn=lambda *_: None)
+    stage1_params = [restore_checkpoint(p)[0]["params"] for p in stage1]
+
+    ft_cfg = cfg.replace(TRAIN=dataclasses.replace(cfg.TRAIN,
+                                                   quant_mode="round"))
+    trainer = SweepTrainer(ft_cfg, lambdas, run_name="ft",
+                           sample_shape=(1, 64, 64, 3),
+                           sweep_ckpt="sweep_state_ft")
+    trainer.init_params_from(os.path.join(str(tmp_path / "ckpts"), "ft"))
+    # seeded params == the stage-1 checkpoints, row for row
+    for i in range(2):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            jax.tree.map(lambda a: a[i], jax.device_get(
+                trainer.state.params)),
+            stage1_params[i])
+    paths = trainer.fit(batches, max_steps=2, log_fn=lambda *_: None)
+    assert len(paths) == 2
+    for p, before in zip(paths, stage1_params):
+        after = restore_checkpoint(p)[0]["params"]
+        # fine-tune actually moved the params
+        diffs = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a)
+                                             - np.asarray(b)))),
+            after, before))
+        assert max(diffs) > 0.0
