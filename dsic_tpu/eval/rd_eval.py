@@ -128,6 +128,12 @@ def evaluate_model_lambdas(cfg: Config, ckpt_root: str, image_dir: str,
             agg["count"].append(len(rows))
             for key in ("bpp", "mse", "psnr", "msssim"):
                 agg[key].append(float(np.mean([r[key] for r in rows])))
+            del state, params
+            # every iteration jits fresh closures, so the compile cache only
+            # GROWS across a sweep — a 58-model live-BD run leaked to 130 GB
+            # host RSS and got OOM-killed. Nothing is reused between models;
+            # drop the executables.
+            jax.clear_caches()
 
     with CsvLogger(os.path.join(out_dir, "agg_model_rd_summary.csv"),
                    ["lambda", "count", "bpp", "mse", "psnr", "msssim"]) as ag:
@@ -188,6 +194,8 @@ def evaluate_zoo_qualities(cfg: Config, ckpt_root: str, image_dir: str,
             agg["count"].append(len(rows))
             for key in ("bpp", "mse", "psnr", "msssim"):
                 agg[key].append(float(np.mean([r[key] for r in rows])))
+            del state, params
+            jax.clear_caches()  # fresh closures per quality; see above
 
     with CsvLogger(os.path.join(out_dir, f"agg_{family}_rd.csv"),
                    ["quality", "count", "bpp", "psnr", "msssim"]) as ag:
