@@ -88,7 +88,12 @@ class CompressionModel(nn.Module):
         y = self.g_a(x)
         z = self.h_a(y)
 
-        if quant_mode == "noise":
+        if quant_mode in ("noise", "mix"):
+            # "mix" (Minnen-Singh 2020 §4 recipe): the RATE leg keeps the
+            # additive-noise relaxation — smooth likelihoods, no dead-zone
+            # barrier, so low-λ models cannot collapse to R=0 the way pure
+            # STE-round training does — while the DISTORTION leg below feeds
+            # the decoder STE-rounded latents (the eval-time input).
             key_y, key_z = self.noise_rngs()
             y_tilde = quantize(y, "noise", key_y)
             z_tilde = quantize(z, "noise", key_z)
@@ -112,8 +117,12 @@ class CompressionModel(nn.Module):
                                        self.z_log_sigma)
 
         # Decoder input: rounded latents at eval, the relaxed latents while
-        # training (model.py:62).
-        y_hat = y_tilde if train else quantize(y, "round")
+        # training (model.py:62) — except "mix", whose decoder trains on the
+        # STE-rounded latents it will see at eval.
+        if not train or quant_mode == "mix":
+            y_hat = quantize(y, "round")
+        else:
+            y_hat = y_tilde
         x_hat = self.g_s(y_hat)
 
         return {

@@ -64,9 +64,11 @@ def main(argv=None):
                    help="total steps for the cosine schedule (defaults to "
                         "--max_steps when --lr_schedule cosine is given)")
     p.add_argument("--quant_mode", type=str, default=None,
-                   choices=["noise", "round"],
-                   help="train-time quantization: noise (reference default) "
-                        "or round — the STE fine-tune stage "
+                   choices=["noise", "round", "mix"],
+                   help="train-time quantization: noise (reference default), "
+                        "round (pure-STE fine-tune stage), or mix "
+                        "(noise rate leg + STE-round decoder leg — the "
+                        "Minnen-Singh 2020 recipe; low-λ-safe fine-tune) "
                         "(TRAIN.quant_mode)")
     p.add_argument("--init_from", type=str, default=None,
                    help="checkpoint run dir whose per-lambda checkpoints "

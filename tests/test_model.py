@@ -57,6 +57,36 @@ def test_spatial_params_mode():
     assert not np.allclose(sigma, sigma[:, :1, :1, :])  # varies spatially
 
 
+def test_mix_mode_noise_rate_round_decoder():
+    """quant_mode="mix" (Minnen-Singh 2020 fine-tune recipe): likelihoods
+    come from the NOISY latents while the decoder sees STE-ROUNDED latents,
+    and the rate term keeps a live gradient (no STE dead-zone collapse)."""
+    model = CompressionModel(N=32, M=48)
+    params, _ = _init(model)
+    x = jnp.asarray(np.random.default_rng(7)
+                    .uniform(size=(1, 64, 64, 3)).astype(np.float32))
+    out = model.apply(params, x, quant_mode="mix", train=True,
+                      rngs={"noise": jax.random.PRNGKey(11)})
+    y_t = np.asarray(out["y_tilde"])
+    # rate leg is the noise relaxation: y_tilde is NOT integral
+    assert not np.allclose(y_t, np.round(y_t))
+    # decoder leg is rounded: x_hat equals the eval-mode reconstruction
+    out_eval = model.apply(params, x, quant_mode="round", train=False)
+    np.testing.assert_allclose(np.asarray(out["x_hat"]),
+                               np.asarray(out_eval["x_hat"]), atol=1e-6)
+
+    # the RATE term still has a gradient through y (the whole point of mix
+    # over pure STE-round: p(round(y)) is piecewise constant, p(y+u) is not)
+    def rate_only(p):
+        o = model.apply(p, x, quant_mode="mix", train=True,
+                        rngs={"noise": jax.random.PRNGKey(11)})
+        return jnp.mean(o["nll_y"])
+
+    g = jax.grad(rate_only)(params)
+    leaves = [np.abs(np.asarray(l)).max() for l in jax.tree.leaves(g)]
+    assert max(leaves) > 0.0
+
+
 def test_round_mode_deterministic_and_integer():
     model = CompressionModel(N=32, M=48)
     params, _ = _init(model)
