@@ -238,3 +238,34 @@ def test_sweep_ste_round_finetune_from_checkpoints(tmp_path):
                                              - np.asarray(b)))),
             after, before))
         assert max(diffs) > 0.0
+
+
+def test_sweep_mix_finetune_keeps_rate_alive(tmp_path):
+    """The mixed-quantization fine-tune stage (--quant_mode mix): trains
+    through the noise-rate/STE-decoder path without error and the per-λ
+    rate metric stays a live (finite) value — the mode the flagship
+    low-λ fine-tune uses instead of pure STE-round."""
+    from dsic_tpu.train.sweep import SweepTrainer
+
+    cfg = _tiny_cfg(**{"LOGGING.ckpt_dir": str(tmp_path / "ckpts"),
+                       "LOGGING.log_every": 1, "LOGGING.val_every": 100,
+                       "TRAIN.quant_mode": "mix"})
+    lambdas = [10.0, 1000.0]
+    batches = [synthetic_patches(2, (64, 64), seed=s) for s in range(2)]
+    trainer = SweepTrainer(cfg, lambdas, run_name="mix",
+                           sample_shape=(1, 64, 64, 3),
+                           sweep_ckpt="sweep_state_mix")
+    paths = trainer.fit(batches, max_steps=2, log_fn=lambda *_: None)
+    assert len(paths) == 2
+
+    # the step the trainer jitted really runs the mix path: metrics carry a
+    # finite per-λ rate from the NOISY likelihood leg
+    model, tx, stacked = init_sweep_state(cfg, lambdas,
+                                          jax.random.PRNGKey(3),
+                                          (1, 64, 64, 3))
+    step = make_sweep_train_step(model, tx, lambdas, dist="msssim",
+                                 donate=False, quant_mode="mix")
+    _, m = step(stacked, jnp.asarray(batches[0]), jax.random.PRNGKey(9))
+    rates = np.asarray(m["R"], np.float64)
+    assert rates.shape == (2,) and np.isfinite(rates).all()
+    assert (rates > 0).all()  # fresh-init noisy latents carry nonzero rate
