@@ -18,7 +18,7 @@
 set -uo pipefail
 WORK="${1:-/root/work/live_demo}"
 RUN="${2:-live3}"
-FT_STEPS="${3:-2500}"
+FT_STEPS="${3:-6000}"
 DATA="$WORK/data"
 EVAL="$WORK/eval_data"
 OUT="$WORK/results_r3"
