@@ -31,6 +31,19 @@ python scripts/select_flagship_stage.py "$BD" "$CKPT" \
     --stages mix_stage=agg_model_rd_summary_mix_stage.csv,ste_stage=agg_model_rd_summary_ste_stage.csv \
     --installed mix_stage || exit 1
 
+if [ "$FT_STEPS" -le 0 ]; then
+    echo "=== [2-3/6] FT_STEPS=$FT_STEPS: skipping remedial stage ==="
+    echo "=== [4/6] BD re-measure of the installed (composite) curve ==="
+    rm -f "$BD/agg_model_rd_summary.csv" "$BD/per_image_per_lambda_results.csv"
+    python -m dsic_tpu.eval.cli bd --ckpt_root "$CKPT" --images "$WORK/eval_data" \
+        --out "$BD" --max_images 256 --lambdas "$FLAG_LAMBDAS" \
+        --reuse --live "$ALL_FAMILIES" || exit 1
+    echo "=== [6/6] acceptance check ==="
+    python scripts/check_bd_live.py "$BD" | tee "$BD/CHECK.txt"
+    echo "finalize (no-remedial) complete: $BD"
+    exit 0
+fi
+
 echo "=== [2/6] remedial low-LR mix fine-tune from the composite ($FT_STEPS steps) ==="
 if [ ! -d "checkpoints/${RUN}remedial/$RUN/alpha10000lambda" ]; then
     python -m dsic_tpu.train.cli --data_root "$WORK/data" --run_name "$RUN" \
