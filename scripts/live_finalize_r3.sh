@@ -29,7 +29,7 @@ done
     cp "$BD/agg_model_rd_summary.csv" "$BD/agg_model_rd_summary_mix_stage.csv"
 python scripts/select_flagship_stage.py "$BD" "$CKPT" \
     --stages mix_stage=agg_model_rd_summary_mix_stage.csv,ste_stage=agg_model_rd_summary_ste_stage.csv \
-    --installed mix_stage || exit 1
+    --installed mix_stage --require_monotone --force_install || exit 1
 
 if [ "$FT_STEPS" -le 0 ]; then
     echo "=== [2-3/6] FT_STEPS=$FT_STEPS: skipping remedial stage ==="
@@ -75,8 +75,10 @@ cp "$BD/agg_model_rd_summary.csv" "$BD/agg_model_rd_summary_remedial_stage.csv"
 echo "=== [5/6] final selection across remedial/ste/mix stages ==="
 python scripts/select_flagship_stage.py "$BD" "$CKPT" \
     --stages remedial_stage=agg_model_rd_summary_remedial_stage.csv,ste_stage=agg_model_rd_summary_ste_stage.csv,mix_stage=agg_model_rd_summary_mix_stage.csv \
-    --installed remedial_stage | tee /tmp/reselect_r3.log || exit 1
-swaps=$(grep -c "^\[select\] install" /tmp/reselect_r3.log || true)
+    --installed remedial_stage --require_monotone --force_install | tee /tmp/reselect_r3.log || exit 1
+# only non-remedial winners change the installed curve (force_install
+# re-copies remedial rows that are already measured)
+swaps=$(grep -cE "^\[select\] install (ste|mix)_stage" /tmp/reselect_r3.log || true)
 if [ "$swaps" -gt 0 ]; then
     if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -gt "$DEADLINE" ]; then
         echo "[finalize] $swaps swap(s) but past re-measure deadline; composing"

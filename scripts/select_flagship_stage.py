@@ -66,6 +66,16 @@ def main() -> int:
     ap.add_argument("--installed", required=True,
                     help="stage currently installed at CKPT_ROOT/alpha*lambda")
     ap.add_argument("--dry_run", action="store_true")
+    ap.add_argument("--force_install", action="store_true",
+                    help="install EVERY winner from its stage snapshot dir "
+                         "regardless of --installed (use when the root is "
+                         "already a mixed composite)")
+    ap.add_argument("--require_monotone", action="store_true",
+                    help="constrain the composite to a valid RD ordering "
+                         "(bpp strictly increasing, PSNR non-decreasing in "
+                         "lambda) and minimize TOTAL val loss subject to it; "
+                         "falls back to unconstrained per-lambda argmin if "
+                         "no stage combination satisfies the constraint")
     args = ap.parse_args()
 
     stages: dict[str, dict[float, dict]] = {}
@@ -81,19 +91,76 @@ def main() -> int:
         return 2
 
     lambdas = sorted(set().union(*[set(c) for c in stages.values()]))
+    per_lam = []  # [(lam, {stage: (loss, bpp, psnr)})]
+    for lam in lambdas:
+        opts = {s: (val_loss(lam, c[lam]), c[lam]["bpp"], c[lam]["psnr"])
+                for s, c in stages.items() if lam in c}
+        per_lam.append((lam, opts))
+
+    argmin = {lam: min(o, key=lambda s: o[s][0]) for lam, o in per_lam}
+    choice = dict(argmin)
+    if args.require_monotone:
+        # Exhaustive search over stage combinations (few stages, few
+        # lambdas), with tiered validity — the ordering an RD curve is
+        # supposed to have, degrading gracefully when the checkpoints
+        # cannot provide it (tiers mirror scripts/check_bd_live.py):
+        #   tier 0: bpp strictly increasing, psnr non-decreasing, msssim
+        #           non-decreasing within MSS_TOL;
+        #   tier 1: bpp+psnr as above; msssim leg within-noise-flat
+        #           (total span < MSS_SPAN, the checker's saturation
+        #           threshold) — no false MS-SSIM ordering claims;
+        #   tier 2: bpp+psnr only;
+        #   tier 3: unconstrained per-lambda argmin.
+        # Within the first non-empty tier, minimize total val loss.
+        import itertools
+        MSS_TOL, MSS_SPAN = 0.005, 0.02
+        names = [list(o) for _, o in per_lam]
+        best = {0: None, 1: None, 2: None}
+        for combo in itertools.product(*names):
+            pts = [stages[s][lam] for (lam, _), s in zip(per_lam, combo)]
+            bpps = [p["bpp"] for p in pts]
+            psnrs = [p["psnr"] for p in pts]
+            msss = [p["msssim"] for p in pts]
+            if not all(b2 > b1 for b1, b2 in zip(bpps, bpps[1:])):
+                continue
+            if not all(p2 >= p1 for p1, p2 in zip(psnrs, psnrs[1:])):
+                continue
+            tot = sum(o[s][0] for (_, o), s in zip(per_lam, combo))
+            tiers = [2]
+            if all(m2 >= m1 - MSS_TOL for m1, m2 in zip(msss, msss[1:])):
+                tiers.append(0)
+            if max(msss) - min(msss) < MSS_SPAN:
+                tiers.append(1)
+            for t in tiers:
+                if best[t] is None or tot < best[t][0]:
+                    best[t] = (tot, combo)
+        for t in (0, 1, 2):
+            if best[t] is not None:
+                print(f"[select] constrained tier {t} "
+                      f"(total loss {best[t][0]:.4f})")
+                choice = {lam: s for (lam, _), s in zip(per_lam, best[t][1])}
+                break
+        else:
+            print("[select] no bpp/psnr-monotone stage combination exists; "
+                  "falling back to per-lambda argmin")
+
     out_rows = []
     swaps = []
-    for lam in lambdas:
-        losses = {s: val_loss(lam, c[lam]) for s, c in stages.items() if lam in c}
-        winner = min(losses, key=losses.get)
-        out_rows.append({"lambda": lam, "stage": winner,
-                         **{f"loss_{s}": round(l, 4) for s, l in losses.items()}})
-        if winner != args.installed:
+    for lam, opts in per_lam:
+        winner = choice[lam]
+        row = {"lambda": lam, "stage": winner,
+               **{f"loss_{s}": round(v[0], 4) for s, v in opts.items()}}
+        if winner != argmin[lam]:
+            row["constrained"] = (f"argmin {argmin[lam]} overridden for "
+                                  f"curve ordering")
+        out_rows.append(row)
+        if args.force_install or winner != args.installed:
             swaps.append((lam, winner))
 
     sel_path = os.path.join(args.bd_dir, "stage_selection.csv")
+    fields = list(dict.fromkeys(k for r in out_rows for k in r))
     with open(sel_path, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(out_rows[0]))
+        w = csv.DictWriter(f, fieldnames=fields, restval="")
         w.writeheader()
         w.writerows(out_rows)
     for r in out_rows:

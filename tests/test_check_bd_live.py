@@ -36,18 +36,18 @@ def _run(bd, *flags):
 
 
 def test_small_msssim_dip_within_tolerance(tmp_path):
-    bd = _bd_dir(tmp_path, [0.940, 0.950, 0.947])  # 0.003 dip
+    bd = _bd_dir(tmp_path, [0.900, 0.950, 0.947])  # 0.003 dip, spanning curve
     assert _run(bd).returncode == 0
     assert _run(bd, "--strict").returncode == 1
 
 
 def test_large_msssim_dip_fails(tmp_path):
-    bd = _bd_dir(tmp_path, [0.940, 0.950, 0.940])  # 0.010 dip
+    bd = _bd_dir(tmp_path, [0.900, 0.950, 0.940])  # 0.010 dip, spanning curve
     assert _run(bd).returncode == 1
 
 
 def test_bpp_inversion_always_fails(tmp_path):
-    bd = _bd_dir(tmp_path, [0.94, 0.95, 0.96])
+    bd = _bd_dir(tmp_path, [0.90, 0.95, 0.96])
     # overwrite with a bpp inversion
     path = bd / "agg_model_rd_summary.csv"
     rows = list(csv.DictReader(open(path)))
@@ -55,4 +55,49 @@ def test_bpp_inversion_always_fails(tmp_path):
     with open(path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0]))
         w.writeheader(); w.writerows(rows)
+    assert _run(bd).returncode == 1
+
+
+def test_saturated_msssim_curve_not_gated(tmp_path):
+    # total span < 0.02: the MS-SSIM leg is reported but does not gate
+    bd = _bd_dir(tmp_path, [0.945, 0.950, 0.940])
+    out = _run(bd, "--strict")
+    assert out.returncode == 0, out.stdout
+    assert "saturated" in out.stdout
+
+
+def test_dominance_nan_allowed_degenerate_nan_not(tmp_path):
+    bd = _bd_dir(tmp_path, [0.900, 0.945, 0.950])
+    # family curve whose best msssim is BELOW the flagship's worst ->
+    # a NaN BD-rate-msssim cell is non-overlap by dominance (allowed)
+    with open(bd / "agg_fam_rd.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["quality", "bpp", "psnr", "msssim"])
+        w.writeheader()
+        for q in range(1, 4):
+            w.writerow({"quality": q, "bpp": 0.2 * q, "psnr": 25.0 + q,
+                        "msssim": 0.80 + 0.02 * q})
+    with open(bd / "bd_metrics_summary_fam_live.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["bd_rate_psnr_pct", "bd_psnr_db",
+                                          "bd_rate_mss_pct", "bd_mss_diff"])
+        w.writeheader()
+        w.writerow({"bd_rate_psnr_pct": -10.0, "bd_psnr_db": 1.0,
+                    "bd_rate_mss_pct": float("nan"), "bd_mss_diff": 0.05})
+    out = _run(bd)
+    assert out.returncode == 0, out.stdout
+    assert "dominance" in out.stdout
+
+    # NaN on a metric whose quality ranges DO overlap is degenerate -> fail
+    # (family psnr 28-31.5 overlaps flagship 30-32)
+    with open(bd / "agg_fam_rd.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["quality", "bpp", "psnr", "msssim"])
+        w.writeheader()
+        for q in range(1, 4):
+            w.writerow({"quality": q, "bpp": 0.2 * q, "psnr": 26.5 + 1.7 * q,
+                        "msssim": 0.80 + 0.02 * q})
+    with open(bd / "bd_metrics_summary_fam_live.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["bd_rate_psnr_pct", "bd_psnr_db",
+                                          "bd_rate_mss_pct", "bd_mss_diff"])
+        w.writeheader()
+        w.writerow({"bd_rate_psnr_pct": -10.0, "bd_psnr_db": float("nan"),
+                    "bd_rate_mss_pct": -5.0, "bd_mss_diff": 0.05})
     assert _run(bd).returncode == 1
