@@ -91,10 +91,36 @@ def _measure_serial(codec, x, iters: int, warmup: int, repeats: int = REPEATS):
     return passes[len(passes) // 2]
 
 
+def _devices_with_retry(tries: int = 3, wait_s: float = 120.0):
+    """Touch the default backend, retrying on transient init UNAVAILABLE.
+
+    The TPU claim occasionally drops for minutes at a time (observed rounds
+    2-3); a bounded retry keeps one transient outage from zeroing out a
+    round's perf evidence. Raises the last error if all tries fail.
+    """
+    import jax
+    last = None
+    for attempt in range(1, tries + 1):
+        try:
+            return jax.devices()
+        except RuntimeError as exc:  # backend init failure
+            last = exc
+            msg = str(exc)
+            if "UNAVAILABLE" not in msg and "backend" not in msg.lower():
+                raise
+            print(f"[bench] backend init failed (try {attempt}/{tries}): "
+                  f"{msg.splitlines()[0]}", file=sys.stderr)
+            if attempt < tries:
+                time.sleep(wait_s)
+    raise last
+
+
 def main():
     import jax
     from dsic_tpu.models import CompressionModel
     from dsic_tpu.codec import Codec
+
+    print(f"[bench] devices: {_devices_with_retry()}", file=sys.stderr)
 
     model, params, x = _build(CompressionModel, 0)
     codec = Codec(model, params)

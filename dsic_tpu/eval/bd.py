@@ -95,6 +95,33 @@ def bd_rate_log(rate1, qual1, rate2, qual2) -> float:
     return float((np.exp(avg) - 1.0) * 100.0)
 
 
+def bd_selected_rows(model_curve: dict, baseline_curve: dict,
+                     selected_lambdas) -> list[dict]:
+    """Per-selected-lambda BD rows vs a full baseline curve — the
+    reference's bd_summary_selected_vs_cheng.csv schema
+    (writeupbdcurveschengALL.py:336-377): each selected lambda is treated
+    as a SINGLE-POINT model curve, and since BD needs >= 2 points per side,
+    every metric is NaN by construction (matching the reference's recorded
+    batch_bd_results_cheng_attn/bd_summary_selected_vs_cheng.csv, whose
+    lambda=1000/10000 rows are empty). The schema is kept for eval-suite
+    parity; rows gain real values only if a multi-point model sub-curve is
+    ever selected.
+    """
+    lams = np.asarray(model_curve["lambda"], dtype=np.float64)
+    rows = []
+    for lam in selected_lambdas:
+        idx = np.nonzero(np.isclose(lams, float(lam)))[0]
+        row = {"lambda": float(lam), "bd_rate_psnr_pct": float("nan"),
+               "bd_psnr_db": float("nan"), "bd_rate_mss_pct": float("nan"),
+               "bd_mss_diff": float("nan")}
+        if idx.size:
+            sub = {k: np.atleast_1d(np.asarray(model_curve[k]))[idx]
+                   for k in ("bpp", "psnr", "msssim")}
+            row.update(bd_metrics(sub, baseline_curve))
+        rows.append(row)
+    return rows
+
+
 def bd_metrics(model_curve: dict, baseline_curve: dict) -> dict:
     """Curves are dicts with 'bpp', 'psnr', 'msssim' arrays. Returns the
     reference's bd_metrics_summary schema

@@ -79,9 +79,26 @@ def cmd_entropy(args):
 def cmd_bd(args):
     from dsic_tpu.eval.rd_eval import (
         evaluate_model_lambdas, evaluate_zoo_qualities, plot_rd_curves)
-    from dsic_tpu.eval.bd import bd_metrics
+    from dsic_tpu.eval.bd import bd_metrics, bd_selected_rows
     from dsic_tpu.eval.baselines import BASELINE_CURVES
     from dsic_tpu.utils.csv_logger import CsvLogger
+
+    selected = ([float(s) for s in args.selected.split(",")]
+                if getattr(args, "selected", None) else None)
+
+    def _write_selected(name, base, curve):
+        """Reference-schema per-selected-lambda BD vs a full baseline curve
+        (writeupbdcurveschengALL.py:336-377 -> bd_summary_selected_vs_*.csv)."""
+        if not selected:
+            return
+        rows = bd_selected_rows(curve, base, selected)
+        fields = ["lambda", "bd_rate_psnr_pct", "bd_psnr_db",
+                  "bd_rate_mss_pct", "bd_mss_diff"]
+        with CsvLogger(os.path.join(args.out,
+                                    f"bd_summary_selected_vs_{name}.csv"),
+                       fields) as csv:
+            for r in rows:
+                csv.log(**r)
     cfg = _cfg(args)
     lambdas = ([float(s) for s in args.lambdas.split(",")]
                if getattr(args, "lambdas", None) else LAMBDA_GRID)
@@ -111,6 +128,7 @@ def cmd_bd(args):
                        list(m.keys())) as csv:
             csv.log(**m)
         print(name, {k: round(v, 4) for k, v in m.items()})
+        _write_selected(name, base, curve)
 
     # LIVE same-dataset baselines (in-framework zoo checkpoints): the real
     # model-vs-baseline comparison the reference runs through compressai
@@ -136,6 +154,7 @@ def cmd_bd(args):
                 list(m.keys())) as csv:
             csv.log(**m)
         print(f"{family} (live)", {k: round(v, 4) for k, v in m.items()})
+        _write_selected(f"{family}_live", base, curve)
     if live_curves:
         # one overlay with every live family (balle-style RD comparison)
         plot_rd_curves(curve, args.out, label="model", baselines=live_curves)
@@ -360,6 +379,11 @@ def main(argv=None):
                     help="comma-separated zoo families with trained "
                          "{family}_q{q} checkpoints in ckpt_root for LIVE "
                          "same-dataset BD comparison (bmshj2018,mbt2018_mean)")
+    sp.add_argument("--selected", default=None,
+                    help="comma-separated lambdas for per-selected-lambda BD "
+                         "rows vs each baseline (reference "
+                         "bd_summary_selected_vs_*.csv schema; e.g. "
+                         "'1000,10000')")
     sp.set_defaults(fn=cmd_bd)
     sp = sub.add_parser("compare"); common(sp, ckpt_root=True, image=True)
     sp.add_argument("--lambdas", default=None)

@@ -122,6 +122,32 @@ def test_bd_metrics_degenerate_curves_yield_nan():
         assert all(np.isnan(v) for v in m.values())
 
 
+def test_bd_selected_rows_pin_reference_cheng_csv():
+    """Per-selected-lambda BD vs the recorded cheng curve must reproduce the
+    reference's bd_summary_selected_vs_cheng.csv exactly: lambda in
+    {1000, 10000}, all four metrics NaN (single-point model sub-curves;
+    writeupbdcurveschengALL.py:336-377 prints '[INFO] Not enough points' and
+    writes empty cells)."""
+    from dsic_tpu.eval.bd import bd_selected_rows
+    rows = bd_selected_rows(REFERENCE_MODEL_CURVE,
+                            BASELINE_CURVES["cheng2020_attn"],
+                            [1000, 10000])
+    assert [r["lambda"] for r in rows] == [1000.0, 10000.0]
+    for r in rows:
+        for k in ("bd_rate_psnr_pct", "bd_psnr_db",
+                  "bd_rate_mss_pct", "bd_mss_diff"):
+            assert np.isnan(r[k])
+
+
+def test_bd_selected_rows_multipoint_subcurve_real_values():
+    """A selected lambda absent from the curve still emits a NaN row; a
+    2+-point sub-curve (if a caller ever selects a range) yields finite BD."""
+    from dsic_tpu.eval.bd import bd_selected_rows
+    rows = bd_selected_rows(REFERENCE_MODEL_CURVE,
+                            BASELINE_CURVES["mbt2018"], [7777])
+    assert np.isnan(rows[0]["bd_rate_psnr_pct"])
+
+
 def test_compress_decompress_cli_roundtrip(tmp_path, monkeypatch):
     """The user-facing batch codec surface: folder -> per-image .dsic ->
     reconstruction PNGs cropped back to the original (odd) sizes."""
