@@ -37,7 +37,7 @@ from dsic_tpu.codec.bitstream import Bitstream, pack_bitstream, unpack_bitstream
 from dsic_tpu.codec.cdf import (
     gaussian_bin_probs, gaussian_cdf_rows_batch, gmm_bin_probs, pad_support,
     student_t_bin_probs, quantize_pmf_to_cdf)
-from dsic_tpu.codec.rans import rans_encode, rans_decode
+from dsic_tpu.codec.rans import rans_encode_batch, rans_decode_batch
 
 
 @dataclass
@@ -119,13 +119,14 @@ class Codec:
         return lo.astype(np.int32), l_per
 
     def _fetch_y_symbols(self, y_q, y_lo: np.ndarray, ly_per: np.ndarray):
-        """Download the y plane as per-image SYMBOLS (y - lo): u8 wire when
-        every image's support fits 256 symbols, else int16 minus lo on host.
-        Returns (B, yh*yw*yc) int32."""
+        """Download the y plane as per-image SYMBOLS (y - lo): the u8 wire
+        plane stays u8 all the way into the native batch coder when every
+        image's support fits 256 symbols, else int16 minus lo on host.
+        Returns (B, yh*yw*yc) uint8 or int32."""
         b = y_q.shape[0]
         if int(ly_per.max()) <= 256:
-            off = np.asarray(self._offset_u8(y_q, self._put(y_lo)))
-            return off.reshape(b, -1).astype(np.int32)
+            return np.asarray(self._offset_u8(y_q,
+                                              self._put(y_lo))).reshape(b, -1)
         y_np = np.asarray(y_q).astype(np.int32).reshape(b, -1)
         return y_np - y_lo[:, None]
 
@@ -353,25 +354,23 @@ class Codec:
         y_row_idx = (np.arange(yh * yw * yc, dtype=np.int32) if spatial
                      else _channel_row_idx(yh, yw, yc))
 
-        def encode_one(i: int):
-            z_sym = (z_np[i].ravel() - z_lo[i]).astype(np.int32)
-            z_bytes = rans_encode(z_sym, z_cdfs[i], z_row_idx, n_states)
-            y_bytes = rans_encode(y_syms[i], y_cdfs[i], y_row_idx, n_states)
-            return z_bytes, y_bytes
-
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            payloads = list(pool.map(encode_one, range(b)))
+        # One native call per plane over the whole batch (contiguous u8 y
+        # symbols): no per-image Python/ctypes round trips.
+        z_syms = (z_np.reshape(b, -1) - z_lo[:, None]).astype(np.int32)
+        z_payloads = rans_encode_batch(z_syms, z_cdfs, z_row_idx, n_states)
+        y_payloads = rans_encode_batch(y_syms, y_cdfs, y_row_idx, n_states)
 
         bounds = [(int(z_lo[i]), int(z_lo[i]) + int(lz_per[i]) - 1,
                    int(y_lo[i]), int(y_lo[i]) + int(ly_per[i]) - 1)
                   for i in range(b)]
         bs = Bitstream(y_shape=(b, yh, yw, yc), z_shape=(b, zh, zw, zc),
                        bounds=bounds,
-                       z_payloads=[p[0] for p in payloads],
-                       y_streams=[[p[1] for p in payloads]],
+                       z_payloads=z_payloads,
+                       y_streams=[y_payloads],
                        spatial_params=spatial, n_states=n_states, tail=tail)
         data = pack_bitstream(bs)
-        per_image_bits = [8 * (len(p[0]) + len(p[1])) for p in payloads]
+        per_image_bits = [8 * (len(zp) + len(yp))
+                          for zp, yp in zip(z_payloads, y_payloads)]
         payload_bits = float(sum(per_image_bits))
         return CompressResult(
             data=data,
@@ -400,13 +399,9 @@ class Codec:
         z_cdfs = self._z_tables(z_lo, lz_per)
         z_row_idx = _channel_row_idx(zh, zw, zc)
 
-        def decode_z(i: int) -> np.ndarray:
-            sym = rans_decode(bs.z_payloads[i], zh * zw * zc, z_cdfs[i],
-                              z_row_idx, bs.n_states)
-            return (sym + z_lo[i]).astype(np.int16).reshape(zh, zw, zc)
-
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
+        sym = rans_decode_batch(bs.z_payloads, zh * zw * zc, z_cdfs,
+                                z_row_idx, bs.n_states)
+        z_hat = (sym + z_lo[:, None]).astype(np.int16).reshape(b, zh, zw, zc)
 
         # Batched fused hyper-decode + pmf over all images — the exact call
         # the encoder made on identically-shaped inputs, so (sigma, nu) and
@@ -416,13 +411,9 @@ class Codec:
         y_row_idx = (np.arange(yh * yw * yc, dtype=np.int32)
                      if bs.spatial_params else _channel_row_idx(yh, yw, yc))
 
-        def decode_y(i: int) -> np.ndarray:
-            sym = rans_decode(bs.y_payloads[i], yh * yw * yc, y_cdfs[i],
-                              y_row_idx, bs.n_states)
-            return (sym + y_lo[i]).astype(np.int16).reshape(yh, yw, yc)
-
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            y_hat = np.stack(list(pool.map(decode_y, range(b))), axis=0)
+        sym = rans_decode_batch(bs.y_payloads, yh * yw * yc, y_cdfs,
+                                y_row_idx, bs.n_states)
+        y_hat = (sym + y_lo[:, None]).astype(np.int16).reshape(b, yh, yw, yc)
         return y_hat, z_hat, None
 
     def decompress_stream(self, datas, quantize_output: bool = True):
@@ -687,30 +678,27 @@ class CheckerboardCodec(ZooCodec):
         a_rows = np.arange(len(a_idx), dtype=np.int32)
         na_rows = np.arange(len(na_idx), dtype=np.int32)
 
-        def encode_one(i: int):
-            flat = y_np[i].ravel()
-            z_sym = (z_np[i].ravel() - z_lo[i]).astype(np.int32)
-            a_sym = (flat[a_idx] - y_lo[i]).astype(np.int32)
-            na_sym = (flat[na_idx] - y_lo[i]).astype(np.int32)
-            return (rans_encode(z_sym, z_cdfs[i], z_row_idx, n_states),
-                    rans_encode(a_sym, y_cdfs_a[i], a_rows, n_states),
-                    rans_encode(na_sym, y_cdfs_na[i], na_rows, n_states))
-
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            payloads = list(pool.map(encode_one, range(b)))
+        # Three batched native calls (z / anchor / non-anchor planes).
+        flat = y_np.reshape(b, -1)
+        z_syms = (z_np.reshape(b, -1) - z_lo[:, None]).astype(np.int32)
+        a_syms = (flat[:, a_idx] - y_lo[:, None]).astype(np.int32)
+        na_syms = (flat[:, na_idx] - y_lo[:, None]).astype(np.int32)
+        z_payloads = rans_encode_batch(z_syms, z_cdfs, z_row_idx, n_states)
+        a_payloads = rans_encode_batch(a_syms, y_cdfs_a, a_rows, n_states)
+        na_payloads = rans_encode_batch(na_syms, y_cdfs_na, na_rows, n_states)
 
         bounds = [(int(z_lo[i]), int(z_lo[i]) + int(lz_per[i]) - 1,
                    int(y_lo[i]), int(y_lo[i]) + int(ly_per[i]) - 1)
                   for i in range(b)]
         bs = Bitstream(y_shape=(b, yh, yw, yc), z_shape=(b, zh, zw, zc),
                        bounds=bounds,
-                       z_payloads=[p[0] for p in payloads],
-                       y_streams=[[p[1] for p in payloads],
-                                  [p[2] for p in payloads]],
+                       z_payloads=z_payloads,
+                       y_streams=[a_payloads, na_payloads],
                        spatial_params=True, n_states=n_states, tail=tail)
         data = pack_bitstream(bs)
-        per_image_bits = [8 * (len(p[0]) + len(p[1]) + len(p[2]))
-                          for p in payloads]
+        per_image_bits = [8 * (len(zp) + len(ap) + len(np_))
+                          for zp, ap, np_ in zip(z_payloads, a_payloads,
+                                                 na_payloads)]
         payload_bits = float(sum(per_image_bits))
         return CompressResult(
             data=data,
@@ -734,13 +722,9 @@ class CheckerboardCodec(ZooCodec):
         z_cdfs = self._z_tables(z_lo, lz_per)
         z_row_idx = _channel_row_idx(zh, zw, zc)
 
-        def decode_z(i: int) -> np.ndarray:
-            sym = rans_decode(bs.z_payloads[i], zh * zw * zc, z_cdfs[i],
-                              z_row_idx, bs.n_states)
-            return (sym + z_lo[i]).astype(np.int16).reshape(zh, zw, zc)
-
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
+        sym = rans_decode_batch(bs.z_payloads, zh * zw * zc, z_cdfs,
+                                z_row_idx, bs.n_states)
+        z_hat = (sym + z_lo[:, None]).astype(np.int16).reshape(b, zh, zw, zc)
         z_dev = self._put(z_hat)
 
         a_idx, na_idx = self._split_idx(yh, yw, yc)
@@ -752,34 +736,20 @@ class CheckerboardCodec(ZooCodec):
         # pass 1: anchors under hyper-only tables
         y_cdfs_a = self._pass_tables(self._y_pmf_pass1, (z_dev,),
                                      y_lo, ly_per, a_sel)
-
-        def decode_a(i: int) -> np.ndarray:
-            sym = rans_decode(bs.y_payloads[i], len(a_idx), y_cdfs_a[i],
-                              a_rows, bs.n_states)
-            return (sym + y_lo[i]).astype(np.int16)
-
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            a_syms = list(pool.map(decode_a, range(b)))
+        a_syms = rans_decode_batch(bs.y_payloads, len(a_idx), y_cdfs_a,
+                                   a_rows, bs.n_states)
 
         y_flat = np.zeros((b, yh * yw * yc), np.int16)
-        for i in range(b):
-            y_flat[i, a_idx] = a_syms[i]
+        y_flat[:, a_idx] = (a_syms + y_lo[:, None]).astype(np.int16)
         y_anchor_dev = self._put(y_flat.reshape(b, yh, yw, yc))
 
         # pass 2: non-anchors under context tables from the decoded anchors
         y_cdfs_na = self._pass_tables(self._y_pmf_pass2,
                                       (z_dev, y_anchor_dev),
                                       y_lo, ly_per, na_sel)
-
-        def decode_na(i: int) -> np.ndarray:
-            sym = rans_decode(bs.y2_payloads[i], len(na_idx), y_cdfs_na[i],
-                              na_rows, bs.n_states)
-            return (sym + y_lo[i]).astype(np.int16)
-
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            na_syms = list(pool.map(decode_na, range(b)))
-        for i in range(b):
-            y_flat[i, na_idx] = na_syms[i]
+        na_syms = rans_decode_batch(bs.y2_payloads, len(na_idx), y_cdfs_na,
+                                    na_rows, bs.n_states)
+        y_flat[:, na_idx] = (na_syms + y_lo[:, None]).astype(np.int16)
         return y_flat.reshape(b, yh, yw, yc), z_hat, None
 
 
@@ -850,20 +820,12 @@ class ChannelCodec(ZooCodec):
             syms_dev = jax.lax.slice_in_dim(y_q, k * sl, (k + 1) * sl, axis=3)
             prefix = self._dequant_k(self.params, z_q, prefix, syms_dev)
 
-            def enc_one(i, k=k, cdfs_k=cdfs_k):
-                s_k = (y_np[i, :, :, k * sl:(k + 1) * sl].ravel()
-                       - y_lo[i]).astype(np.int32)
-                return rans_encode(s_k, cdfs_k[i], row_idx, n_states)
+            s_k = (y_np[:, :, :, k * sl:(k + 1) * sl].reshape(b, -1)
+                   - y_lo[:, None]).astype(np.int32)
+            y_streams[k] = rans_encode_batch(s_k, cdfs_k, row_idx, n_states)
 
-            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-                y_streams[k] = list(pool.map(enc_one, range(b)))
-
-        def enc_z(i):
-            z_sym = (z_np[i].ravel() - z_lo[i]).astype(np.int32)
-            return rans_encode(z_sym, z_cdfs[i], z_row_idx, n_states)
-
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            z_payloads = list(pool.map(enc_z, range(b)))
+        z_syms = (z_np.reshape(b, -1) - z_lo[:, None]).astype(np.int32)
+        z_payloads = rans_encode_batch(z_syms, z_cdfs, z_row_idx, n_states)
 
         bounds = [(int(z_lo[i]), int(z_lo[i]) + int(lz_per[i]) - 1,
                    int(y_lo[i]), int(y_lo[i]) + int(ly_per[i]) - 1)
@@ -902,13 +864,9 @@ class ChannelCodec(ZooCodec):
         z_cdfs = self._z_tables(z_lo, lz_per)
         z_row_idx = _channel_row_idx(zh, zw, zc)
 
-        def decode_z(i: int) -> np.ndarray:
-            sym = rans_decode(bs.z_payloads[i], zh * zw * zc, z_cdfs[i],
-                              z_row_idx, bs.n_states)
-            return (sym + z_lo[i]).astype(np.int16).reshape(zh, zw, zc)
-
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
+        sym = rans_decode_batch(bs.z_payloads, zh * zw * zc, z_cdfs,
+                                z_row_idx, bs.n_states)
+        z_hat = (sym + z_lo[:, None]).astype(np.int16).reshape(b, zh, zw, zc)
         z_dev = self._put(z_hat)
 
         rows_k = yh * yw * sl
@@ -917,14 +875,10 @@ class ChannelCodec(ZooCodec):
         prefix = self._put(np.zeros((b, yh, yw, 0), np.float32))
         for k in range(n_slices):
             cdfs_k = self._slice_tables(z_dev, prefix, y_lo, ly_per, rows_k)
-
-            def dec_one(i, k=k, cdfs_k=cdfs_k):
-                sym = rans_decode(bs.y_streams[k][i], rows_k, cdfs_k[i],
-                                  row_idx, bs.n_states)
-                return (sym + y_lo[i]).astype(np.int16).reshape(yh, yw, sl)
-
-            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-                syms_k = np.stack(list(pool.map(dec_one, range(b))), axis=0)
+            sym = rans_decode_batch(bs.y_streams[k], rows_k, cdfs_k,
+                                    row_idx, bs.n_states)
+            syms_k = (sym + y_lo[:, None]).astype(np.int16) \
+                .reshape(b, yh, yw, sl)
             y_out[..., k * sl:(k + 1) * sl] = syms_k
             prefix = self._dequant_k(self.params, z_dev, prefix,
                                      self._put(syms_k))
@@ -1031,24 +985,15 @@ class ElicCodec(ZooCodec):
                                      syms_dev)
 
             flat = y_np[:, :, :, k * sl:(k + 1) * sl].reshape(b, -1)
+            s_a = (flat[:, a_idx] - y_lo[:, None]).astype(np.int32)
+            s_na = (flat[:, na_idx] - y_lo[:, None]).astype(np.int32)
+            y_streams.append(rans_encode_batch(s_a, cdfs_a, a_rows,
+                                               n_states))
+            y_streams.append(rans_encode_batch(s_na, cdfs_na, na_rows,
+                                               n_states))
 
-            def enc_one(i, cdfs_a=cdfs_a, cdfs_na=cdfs_na, flat=flat):
-                s_a = (flat[i, a_idx] - y_lo[i]).astype(np.int32)
-                s_na = (flat[i, na_idx] - y_lo[i]).astype(np.int32)
-                return (rans_encode(s_a, cdfs_a[i], a_rows, n_states),
-                        rans_encode(s_na, cdfs_na[i], na_rows, n_states))
-
-            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-                pairs = list(pool.map(enc_one, range(b)))
-            y_streams.append([p[0] for p in pairs])
-            y_streams.append([p[1] for p in pairs])
-
-        def enc_z(i):
-            z_sym = (z_np[i].ravel() - z_lo[i]).astype(np.int32)
-            return rans_encode(z_sym, z_cdfs[i], z_row_idx, n_states)
-
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            z_payloads = list(pool.map(enc_z, range(b)))
+        z_syms = (z_np.reshape(b, -1) - z_lo[:, None]).astype(np.int32)
+        z_payloads = rans_encode_batch(z_syms, z_cdfs, z_row_idx, n_states)
 
         bounds = [(int(z_lo[i]), int(z_lo[i]) + int(lz_per[i]) - 1,
                    int(y_lo[i]), int(y_lo[i]) + int(ly_per[i]) - 1)
@@ -1087,13 +1032,9 @@ class ElicCodec(ZooCodec):
         z_cdfs = self._z_tables(z_lo, lz_per)
         z_row_idx = _channel_row_idx(zh, zw, zc)
 
-        def decode_z(i: int) -> np.ndarray:
-            sym = rans_decode(bs.z_payloads[i], zh * zw * zc, z_cdfs[i],
-                              z_row_idx, bs.n_states)
-            return (sym + z_lo[i]).astype(np.int16).reshape(zh, zw, zc)
-
-        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-            z_hat = np.stack(list(pool.map(decode_z, range(b))), axis=0)
+        sym = rans_decode_batch(bs.z_payloads, zh * zw * zc, z_cdfs,
+                                z_row_idx, bs.n_states)
+        z_hat = (sym + z_lo[:, None]).astype(np.int16).reshape(b, zh, zw, zc)
         z_dev = self._put(z_hat)
 
         a_idx, na_idx = CheckerboardCodec._split_idx(yh, yw, sl)
@@ -1108,16 +1049,10 @@ class ElicCodec(ZooCodec):
             cdfs_a = self._pass_tables(self._pmf_a, (z_dev, prefix),
                                        y_lo, ly_per, a_sel)
 
-            def dec_a(i, k=k, cdfs_a=cdfs_a):
-                sym = rans_decode(bs.y_streams[2 * k][i], len(a_idx),
-                                  cdfs_a[i], a_rows, bs.n_states)
-                return (sym + y_lo[i]).astype(np.int16)
-
-            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-                a_syms = list(pool.map(dec_a, range(b)))
+            a_syms = rans_decode_batch(bs.y_streams[2 * k], len(a_idx),
+                                       cdfs_a, a_rows, bs.n_states)
             slice_flat = np.zeros((b, yh * yw * sl), np.int16)
-            for i in range(b):
-                slice_flat[i, a_idx] = a_syms[i]
+            slice_flat[:, a_idx] = (a_syms + y_lo[:, None]).astype(np.int16)
             y_anchor_hat = self._deq_a(
                 self.params, z_dev, prefix,
                 self._put(slice_flat.reshape(b, yh, yw, sl)))
@@ -1126,15 +1061,9 @@ class ElicCodec(ZooCodec):
                                         (z_dev, prefix, y_anchor_hat),
                                         y_lo, ly_per, na_sel)
 
-            def dec_na(i, k=k, cdfs_na=cdfs_na):
-                sym = rans_decode(bs.y_streams[2 * k + 1][i], len(na_idx),
-                                  cdfs_na[i], na_rows, bs.n_states)
-                return (sym + y_lo[i]).astype(np.int16)
-
-            with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
-                na_syms = list(pool.map(dec_na, range(b)))
-            for i in range(b):
-                slice_flat[i, na_idx] = na_syms[i]
+            na_syms = rans_decode_batch(bs.y_streams[2 * k + 1], len(na_idx),
+                                        cdfs_na, na_rows, bs.n_states)
+            slice_flat[:, na_idx] = (na_syms + y_lo[:, None]).astype(np.int16)
             slice_syms = slice_flat.reshape(b, yh, yw, sl)
             prefix = self._deq_joint(self.params, z_dev, prefix,
                                      y_anchor_hat, self._put(slice_syms))

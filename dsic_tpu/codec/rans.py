@@ -58,6 +58,18 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.rans_encode_batch.restype = ctypes.c_int64
+        lib.rans_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.rans_decode_batch.restype = ctypes.c_int64
+        lib.rans_decode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -122,6 +134,108 @@ def rans_decode(data: bytes, n_symbols: int, cdfs: np.ndarray,
     if rc != 0:
         raise ValueError("rans_decode failed (malformed bitstream)")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Batch API: B independent per-image streams in ONE native call — removes the
+# per-image Python/ctypes/thread-pool overhead of the production codec path
+# (the host paired with the TPU exposes a single core, so batching beats
+# threading). Bit-identical to per-stream rans_encode/rans_decode.
+# ---------------------------------------------------------------------------
+
+def _batch_cdfs(cdfs_list):
+    """Per-image (R, L_i+1) uint32 tables -> (concat words, offsets, Ls)."""
+    n_rows = cdfs_list[0].shape[0]
+    offs = np.zeros(len(cdfs_list), np.int64)
+    ls = np.zeros(len(cdfs_list), np.int32)
+    total = 0
+    for i, c in enumerate(cdfs_list):
+        if c.ndim != 2 or c.shape[0] != n_rows:
+            raise ValueError("batch requires equal row counts per image")
+        offs[i] = total
+        ls[i] = c.shape[1] - 1
+        total += c.size
+    concat = np.empty(total, np.uint32)
+    for i, c in enumerate(cdfs_list):
+        concat[offs[i]:offs[i] + c.size] = \
+            np.ascontiguousarray(c, np.uint32).ravel()
+    return concat, offs, ls, n_rows
+
+
+def rans_encode_batch(symbols: np.ndarray, cdfs_list: list,
+                      row_idx: np.ndarray | None = None,
+                      n_states: int = 4) -> list[bytes]:
+    """Encode B equal-length streams: symbols (B, n) int32 or uint8 planes,
+    cdfs_list[i] = (R, L_i+1) uint32 rows for image i, one SHARED row_idx
+    (length n). Returns the B payloads. Bit-identical to calling
+    :func:`rans_encode` per image."""
+    symbols = np.ascontiguousarray(symbols)
+    if symbols.dtype not in (np.dtype(np.uint8), np.dtype(np.int32)):
+        symbols = symbols.astype(np.int32)
+    b, n = symbols.shape
+    if row_idx is not None:
+        row_idx = np.ascontiguousarray(row_idx, dtype=np.int32).ravel()
+        if row_idx.size != n:
+            raise ValueError("shared row_idx must match per-image length")
+    lib = _load()
+    if lib is None:
+        return [_py_encode(symbols[i].astype(np.int32).ravel(),
+                           np.ascontiguousarray(cdfs_list[i], np.uint32),
+                           row_idx, n_states) for i in range(b)]
+    concat, cdf_off, ls, n_rows = _batch_cdfs(cdfs_list)
+    if row_idx is not None and row_idx.size and \
+            (row_idx.min() < 0 or row_idx.max() >= n_rows):
+        raise ValueError("row_idx out of range")
+    sym_off = (np.arange(b + 1, dtype=np.int64) * n)
+    stride = 4 * (n + 4) + 8 * n_states
+    out = np.empty(b * stride, np.uint8)
+    out_len = np.empty(b, np.int64)
+    rc = lib.rans_encode_batch(
+        symbols.ctypes.data, int(symbols.dtype == np.uint8),
+        sym_off.ctypes.data, b, concat.ctypes.data, cdf_off.ctypes.data,
+        ls.ctypes.data, n_rows,
+        None if row_idx is None else row_idx.ctypes.data,
+        n_states, out.ctypes.data, stride, out_len.ctypes.data)
+    if rc != 0:
+        raise ValueError("rans_encode_batch failed (symbol out of range)")
+    return [out[i * stride:i * stride + out_len[i]].tobytes()
+            for i in range(b)]
+
+
+def rans_decode_batch(payloads: list[bytes], n_symbols: int, cdfs_list: list,
+                      row_idx: np.ndarray | None = None, n_states: int = 4,
+                      u8: bool = False) -> np.ndarray:
+    """Inverse of :func:`rans_encode_batch`: returns (B, n_symbols) symbols,
+    uint8 when ``u8`` (requires every L_i <= 256) else int32."""
+    b = len(payloads)
+    if row_idx is not None:
+        row_idx = np.ascontiguousarray(row_idx, dtype=np.int32).ravel()
+    lib = _load()
+    if lib is None:
+        rows = [_py_decode(payloads[i], n_symbols,
+                           np.ascontiguousarray(cdfs_list[i], np.uint32),
+                           row_idx, n_states) for i in range(b)]
+        out = np.stack(rows, axis=0)
+        return out.astype(np.uint8) if u8 else out
+    concat, cdf_off, ls, n_rows = _batch_cdfs(cdfs_list)
+    if u8 and ls.max(initial=0) > 256:
+        raise ValueError("u8 decode requires L <= 256")
+    in_off = np.zeros(b + 1, np.int64)
+    for i, p in enumerate(payloads):
+        in_off[i + 1] = in_off[i] + len(p)
+    buf = np.empty(in_off[-1], np.uint8)
+    for i, p in enumerate(payloads):
+        buf[in_off[i]:in_off[i + 1]] = np.frombuffer(p, np.uint8)
+    sym_off = (np.arange(b + 1, dtype=np.int64) * n_symbols)
+    out = np.empty(b * n_symbols, np.uint8 if u8 else np.int32)
+    rc = lib.rans_decode_batch(
+        buf.ctypes.data, in_off.ctypes.data, b, concat.ctypes.data,
+        cdf_off.ctypes.data, ls.ctypes.data, n_rows,
+        None if row_idx is None else row_idx.ctypes.data,
+        n_states, out.ctypes.data, int(u8), sym_off.ctypes.data)
+    if rc != 0:
+        raise ValueError("rans_decode_batch failed (malformed bitstream)")
+    return out.reshape(b, n_symbols)
 
 
 # ---------------------------------------------------------------------------

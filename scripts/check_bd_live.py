@@ -55,6 +55,11 @@ def main():
     p.add_argument("--msssim-tol", type=float, default=0.005)
     p.add_argument("--strict", action="store_true",
                    help="zero MS-SSIM tolerance")
+    p.add_argument("--min-mss-span", type=float, default=0.0,
+                   help="FAIL unless the flagship MS-SSIM curve spans at "
+                        "least this range (round-4 VERDICT 'done' bar: "
+                        "0.05). 0 keeps the legacy saturation-waiver "
+                        "behavior for older artifact sets.")
     args = p.parse_args()
     tol = 0.0 if args.strict else args.msssim_tol
     allow = {s for s in args.allow_nan_families.split(",") if s}
@@ -82,6 +87,9 @@ def main():
           f"({'gates' if mss_gates else 'saturated — reported, not gated'})")
     if not (mono_bpp and mono_psnr and (mono_mss or not mss_gates)):
         failures.append("flagship curve not monotone")
+    if args.min_mss_span > 0 and mss_span < args.min_mss_span:
+        failures.append(f"msssim span {mss_span:.4f} < required "
+                        f"{args.min_mss_span}")
 
     rate_metric = {"bd_rate_psnr_pct": "psnr", "bd_rate_mss_pct": "msssim",
                    "bd_psnr_db": "psnr", "bd_mss_diff": "msssim"}

@@ -1,0 +1,50 @@
+#!/usr/bin/env bash
+# Round-4 artifact refresh (VERDICT r3 next #5/#9): bpp-matched visual
+# comparisons for ALL six live zoo families + JPEG, the full flagship
+# latent-analysis artifact set (5 kinds incl. latent_histograms +
+# studentt_best_histograms), and codec throughput — against the round-4
+# checkpoints on the report-test set. Mirrors the reference's
+# resultsanalysis* workflow (/root/reference/code/modelv2/
+# resultsanalysisballe.py:139-268 et al.).
+#
+# Usage: scripts/live_artifacts_r4.sh [WORK_DIR] [CKPT_RUN] [MARKER_FILE]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+WORK="${1:-/root/work/live4}"
+RUN="${2:-live4}"
+MARKER="${3:-}"
+TEST="$WORK/test_data"
+OUT="$WORK/results_r4"
+CKPT="checkpoints/$RUN"
+FAMILIES="bmshj2018 mbt2018_mean charm2020 cheng2020_checkerboard cheng2020_gmm elic2022"
+
+if [[ -n "$MARKER" ]]; then
+    echo "waiting for $MARKER ..."
+    while [[ ! -f "$MARKER" ]]; do sleep 30; done
+    echo "marker present"
+fi
+mkdir -p "$OUT"
+
+for fam in $FAMILIES; do
+    echo "=== compare vs $fam (bpp-matched) ==="
+    python -m dsic_tpu.eval.cli compare --ckpt_root "$CKPT" \
+        --image "$TEST/patch_0001.png" --out "$OUT/compare_$fam" \
+        --lambdas 10,100,1000 --vs "$fam"
+done
+
+echo "=== compare vs jpeg ==="
+python -m dsic_tpu.eval.cli compare --ckpt_root "$CKPT" \
+    --image "$TEST/patch_0001.png" --out "$OUT/compare_jpeg" \
+    --lambdas 10,100,1000 --vs jpeg
+
+echo "=== flagship latent analysis (all 5 artifact kinds) ==="
+python -m dsic_tpu.eval.cli latents --ckpt "$CKPT/alpha100lambda" \
+    --images "$TEST" --out "$OUT/latents" --max_images 64
+
+echo "=== codec throughput (global + spatial table modes) ==="
+python -m dsic_tpu.eval.cli throughput --batch 32 \
+    | tee "$OUT/throughput_global.txt"
+python -m dsic_tpu.eval.cli throughput --batch 32 --spatial_params \
+    | tee "$OUT/throughput_spatial.txt"
+
+echo "round-4 artifacts complete: $OUT"

@@ -1,0 +1,159 @@
+#!/usr/bin/env bash
+# Round-4 deep retrain (VERDICT r3 next #1/#2/#3/#10), on the HARDENED
+# synthetic corpus (data/synthetic.py round-4 generator: fBm terrain,
+# textured parcels, roads, built-up speckle) with a THREE-WAY split:
+#
+#   train_data  2000 images, seed 7   — trainer input (its own 90/10
+#                                       internal val split drives in-run
+#                                       best-checkpoint selection)
+#   val_data     256 images, seed 55  — STAGE selection only (per-lambda
+#                                       cross-stage winner choice)
+#   test_data   1000 images, seed 99  — the REPORTED BD table; no selection
+#                                       decision ever sees it
+#
+# Flagship stages (all lambda-vmapped over the 10-point grid):
+#   [1] noise   STEPS        (reference quantization relaxation)
+#   [2] STE     ~5/16*STEPS  seeded from noise  (closes the noise->round gap)
+#   [3] mix     ~3/4*STEPS   seeded from STE    (VERDICT #10: the round-3 mix
+#       stage seeded from noise regressed low lambda; seeding from STE makes
+#       cross-stage composition unnecessary rather than constrained-away)
+# Zoo: all six live families x 8 qualities at the SAME STEPS budget
+# (quality-vmapped within equal-(N,M) groups).
+#
+# Then: stage curves measured on val_data -> select_flagship_stage installs
+# winners -> ONE end-to-end `eval.cli bd` of the installed checkpoints on
+# test_data (the committed agg_model_rd_summary.csv is never composed) ->
+# acceptance check.
+#
+# Every stage is skip-if-done; a preempted re-run continues (the vmapped
+# sweeps additionally auto-resume mid-run from their sweep_state).
+#
+# Usage: scripts/live_retrain_r4.sh [WORK_DIR] [STEPS] [CKPT_RUN]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+WORK="${1:-/root/work/live4}"
+STEPS="${2:-8000}"
+RUN="${3:-live4}"
+TRAIN="$WORK/train_data"
+VAL="$WORK/val_data"
+TEST="$WORK/test_data"
+OUT="$WORK/results_r4"
+CKPT="checkpoints/$RUN"
+FLAG_LAMBDAS="1,3,10,25,50,100,250,500,1000,10000"
+ALL_FAMILIES="bmshj2018,mbt2018_mean,charm2020,cheng2020_checkerboard,cheng2020_gmm,elic2022"
+WARMUP=$((STEPS / 16))
+STE_STEPS=$((STEPS * 5 / 16))
+MIX_STEPS=$((STEPS * 3 / 4))
+mkdir -p "$TRAIN" "$VAL" "$TEST" "$OUT"
+
+if [ ! -f "$TRAIN/patch_0001.png" ]; then
+python - "$TRAIN" "$VAL" "$TEST" <<'PY'
+import sys
+from dsic_tpu.data.synthetic import write_synthetic_dataset
+write_synthetic_dataset(sys.argv[1], n=2000, hw=(120, 120), seed=7)
+write_synthetic_dataset(sys.argv[2], n=256, hw=(120, 120), seed=55)
+write_synthetic_dataset(sys.argv[3], n=1000, hw=(120, 120), seed=99)
+print("datasets ready (2000 train / 256 selection-val / 1000 report-test)")
+PY
+fi
+
+train_common=(--data_root "$TRAIN" --run_name "$RUN" --epochs 600
+              --batch_size 16 --select best --lr_schedule cosine)
+
+echo "=== [1/10] flagship noise stage ($STEPS steps, grid $FLAG_LAMBDAS) ==="
+if [ ! -d "$CKPT/noise_stage/alpha10000lambda" ]; then
+    python -m dsic_tpu.train.cli "${train_common[@]}" \
+        --lambda_vmap --lambdas "$FLAG_LAMBDAS" \
+        --max_steps "$STEPS" --decay_steps "$STEPS" \
+        --warmup_steps "$WARMUP"
+    mkdir -p "$CKPT/noise_stage"
+    for lam in 1 3 10 25 50 100 250 500 1000 10000; do
+        mv "$CKPT/alpha${lam}lambda" "$CKPT/noise_stage/alpha${lam}lambda"
+    done
+else
+    echo "noise stage exists; skipping"
+fi
+
+echo "=== [2/10] flagship STE stage ($STE_STEPS steps, seeded from noise) ==="
+if [ ! -d "$CKPT/ste_stage/alpha10000lambda" ]; then
+    python -m dsic_tpu.train.cli "${train_common[@]}" \
+        --ckpt_dir "checkpoints/${RUN}ste" \
+        --lambda_vmap --lambdas "$FLAG_LAMBDAS" \
+        --init_from "$CKPT/noise_stage" --quant_mode round \
+        --max_steps "$STE_STEPS" --decay_steps "$STE_STEPS" \
+        --lr 3e-5 --warmup_steps 50
+    mkdir -p "$CKPT/ste_stage"
+    for lam in 1 3 10 25 50 100 250 500 1000 10000; do
+        cp -r "checkpoints/${RUN}ste/$RUN/alpha${lam}lambda" \
+              "$CKPT/ste_stage/alpha${lam}lambda"
+    done
+else
+    echo "STE stage exists; skipping"
+fi
+
+echo "=== [3/10] flagship mix stage ($MIX_STEPS steps, seeded from STE) ==="
+if [ ! -d "$CKPT/mix_stage/alpha10000lambda" ]; then
+    python -m dsic_tpu.train.cli "${train_common[@]}" \
+        --ckpt_dir "checkpoints/${RUN}mix" \
+        --lambda_vmap --lambdas "$FLAG_LAMBDAS" \
+        --init_from "$CKPT/ste_stage" --quant_mode mix \
+        --max_steps "$MIX_STEPS" --decay_steps "$MIX_STEPS" \
+        --lr 3e-5 --warmup_steps 50
+    mkdir -p "$CKPT/mix_stage"
+    for lam in 1 3 10 25 50 100 250 500 1000 10000; do
+        cp -r "checkpoints/${RUN}mix/$RUN/alpha${lam}lambda" \
+              "$CKPT/mix_stage/alpha${lam}lambda"
+    done
+else
+    echo "mix stage exists; skipping"
+fi
+
+stage=4
+for family in bmshj2018 mbt2018_mean charm2020 \
+              cheng2020_checkerboard cheng2020_gmm elic2022; do
+    echo "=== [$stage/10] $family quality-VMAPPED sweep ($STEPS steps) ==="
+    done_all=1
+    for q in $(seq 1 8); do
+        [ -d "$CKPT/${family}_q${q}" ] || done_all=0
+    done
+    if [ "$done_all" = 1 ]; then
+        echo "$family q1-8 exist; skipping"
+    else
+        python -m dsic_tpu.train.cli "${train_common[@]}" \
+            --max_steps "$STEPS" --decay_steps "$STEPS" \
+            --warmup_steps "$WARMUP" --family "$family" \
+            --quality_sweep 1,2,3,4,5,6,7,8 --quality_vmap
+    fi
+    stage=$((stage + 1))
+done
+
+echo "=== [9/10] stage curves on SELECTION-VAL + cross-stage selection ==="
+VBD="$OUT/val_curves"
+mkdir -p "$VBD"
+for st in noise_stage ste_stage mix_stage; do
+    if [ ! -f "$VBD/agg_model_rd_summary_${st}.csv" ]; then
+        rm -f "$VBD/agg_model_rd_summary.csv" \
+              "$VBD/per_image_per_lambda_results.csv"
+        python -m dsic_tpu.eval.cli bd --ckpt_root "$CKPT/$st" \
+            --images "$VAL" --out "$VBD" --max_images 256 \
+            --lambdas "$FLAG_LAMBDAS"
+        mv "$VBD/agg_model_rd_summary.csv" \
+           "$VBD/agg_model_rd_summary_${st}.csv"
+    fi
+done
+# install per-lambda winners at $CKPT/alpha{lam}lambda (selection sees ONLY
+# the val curves; --installed is a dummy here since nothing is at the root
+# yet -> force_install copies every winner from its stage snapshot)
+python scripts/select_flagship_stage.py "$VBD" "$CKPT" \
+    --stages mix_stage=agg_model_rd_summary_mix_stage.csv,ste_stage=agg_model_rd_summary_ste_stage.csv,noise_stage=agg_model_rd_summary_noise_stage.csv \
+    --installed mix_stage --require_monotone --force_install
+
+echo "=== [10/10] end-to-end BD on REPORT-TEST (installed checkpoints) ==="
+BD="$OUT/bd_live"
+mkdir -p "$BD"
+rm -f "$BD/agg_model_rd_summary.csv" "$BD/per_image_per_lambda_results.csv"
+python -m dsic_tpu.eval.cli bd --ckpt_root "$CKPT" --images "$TEST" \
+    --out "$BD" --max_images 1000 --lambdas "$FLAG_LAMBDAS" \
+    --live "$ALL_FAMILIES" --selected 1000,10000
+python scripts/check_bd_live.py "$BD" --min-mss-span 0.05 | tee "$BD/CHECK.txt"
+echo "round-4 retrain complete: $BD"

@@ -62,6 +62,91 @@ def test_rans_cpp_matches_python_fallback():
     np.testing.assert_array_equal(out, syms)
 
 
+def test_rans_batch_matches_per_stream_bit_exact():
+    """The batch entry points (one native call over B contiguous planes,
+    round-4 VERDICT #6) must produce byte-identical payloads to per-stream
+    rans_encode and round-trip through both u8 and i32 symbol paths."""
+    from dsic_tpu.codec.rans import rans_encode_batch, rans_decode_batch
+    rng = np.random.default_rng(7)
+    B, rows, per_row = 5, 24, 512
+    n = rows * per_row
+    cdfs_list = []
+    for i in range(B):
+        L = 40 + 8 * (i % 3)  # per-image support widths differ
+        cdfs_list.append(_random_cdfs(rng, rows, L))
+    row_idx = np.repeat(np.arange(rows, dtype=np.int32), per_row)
+    syms = np.stack([rng.integers(0, 40, size=n) for _ in range(B)]) \
+        .astype(np.int32)
+    for n_states in (1, 4):
+        ref = [rans_encode(syms[i], cdfs_list[i], row_idx, n_states)
+               for i in range(B)]
+        assert rans_encode_batch(syms, cdfs_list, row_idx, n_states) == ref
+        # u8 symbol planes encode to the same bytes
+        assert rans_encode_batch(syms.astype(np.uint8), cdfs_list, row_idx,
+                                 n_states) == ref
+        out = rans_decode_batch(ref, n, cdfs_list, row_idx, n_states)
+        np.testing.assert_array_equal(out, syms)
+        out8 = rans_decode_batch(ref, n, cdfs_list, row_idx, n_states,
+                                 u8=True)
+        assert out8.dtype == np.uint8
+        np.testing.assert_array_equal(out8, syms.astype(np.uint8))
+
+
+def test_rans_reciprocal_encode_bit_exact_vs_fallback():
+    """The Granlund-Montgomery reciprocal-multiply encode path (built when
+    rows are reused enough to amortize) must stay bit-identical to the
+    division-based python fallback across adversarial frequencies: freq=1,
+    powers of two, and odd primes near renorm boundaries."""
+    L = 64
+    freq = np.ones(L, np.int64)
+    freq[0] = 1                        # minimum
+    freq[1] = 2; freq[2] = 4; freq[3] = 16384  # powers of two
+    freq[4] = 3; freq[5] = 127         # odd primes
+    freq[6] = 65536 - freq.sum() + 1   # dominant symbol fills the rest
+    assert (freq > 0).all()
+    cdf = np.zeros(L + 1, np.uint32)
+    cdf[1:] = np.cumsum(freq)
+    assert cdf[-1] == 65536
+    rng = np.random.default_rng(11)
+    # heavy reuse of row 0 -> the reciprocal table builds (n >= n_rows * L)
+    syms = rng.choice([0, 1, 2, 3, 4, 5, 6], size=20000,
+                      p=np.array([1, 1, 1, 8, 1, 8, 100.0]) / 120.0) \
+        .astype(np.int32)
+    blob_cpp = rans_encode(syms, cdf, None, 4)
+    blob_py = _py_encode(syms, cdf[None], None, 4)
+    assert blob_cpp == blob_py
+    np.testing.assert_array_equal(
+        rans_decode(blob_cpp, syms.size, cdf, None, 4), syms)
+
+
+def test_rans_batch_microbench_msym_per_s():
+    """Pinned throughput floor for the batched native coder. The bound is
+    deliberately loose (single shared core, CI contention) — it exists to
+    catch order-of-magnitude regressions, and to print the measured Msym/s
+    for the round record (VERDICT r3 #6)."""
+    from dsic_tpu.codec.rans import rans_encode_batch, rans_decode_batch
+    import time
+    rng = np.random.default_rng(0)
+    rows, hw, B, L = 192, 16 * 16, 16, 48
+    n = rows * hw
+    pmf = rng.random((rows, L)) ** 4 + 1e-9
+    cdfs = quantize_pmf_to_cdf(pmf / pmf.sum(-1, keepdims=True))
+    cdfs_list = [cdfs] * B
+    row_idx = np.repeat(np.arange(rows, dtype=np.int32), hw)
+    syms = rng.integers(0, L, size=(B, n)).astype(np.uint8)
+    payloads = rans_encode_batch(syms, cdfs_list, row_idx)  # warm build
+    t0 = time.perf_counter()
+    payloads = rans_encode_batch(syms, cdfs_list, row_idx)
+    te = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = rans_decode_batch(payloads, n, cdfs_list, row_idx, u8=True)
+    td = time.perf_counter() - t0
+    np.testing.assert_array_equal(out, syms)
+    enc, dec = B * n / te / 1e6, B * n / td / 1e6
+    print(f"\n[rans micro-bench] enc {enc:.1f} Msym/s, dec {dec:.1f} Msym/s")
+    assert enc > 10 and dec > 10  # order-of-magnitude floor only
+
+
 def test_rans_compression_efficiency():
     """Coded size must be within ~1% + constant of the CDF-table entropy."""
     rng = np.random.default_rng(3)
