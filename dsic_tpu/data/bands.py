@@ -99,3 +99,35 @@ def merge_bands(bands: jax.Array, band_indices=(2, 1, 0)) -> jax.Array:
     lo = jnp.min(sel, axis=(1, 2), keepdims=True)
     hi = jnp.max(sel, axis=(1, 2), keepdims=True)
     return (sel - lo) / jnp.maximum(hi - lo, 1e-6)
+
+
+def main(argv=None) -> int:
+    """CLI entry point mirroring the reference's standalone band-merge
+    scripts: batch mode over BigEarthNet-style patch folders
+    (combinebandsall.py:47-53) or a single patch from three band files
+    (combinebands.py:16-26)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Sentinel-2 B02/B03/B04 -> RGB PNG merge")
+    ap.add_argument("--root", help="directory of BigEarthNet patch folders")
+    ap.add_argument("--out", required=True,
+                    help="output dir (--root) or output PNG path (--b2/3/4)")
+    ap.add_argument("--b2", help="single-patch B02 (blue) band file")
+    ap.add_argument("--b3", help="single-patch B03 (green) band file")
+    ap.add_argument("--b4", help="single-patch B04 (red) band file")
+    args = ap.parse_args(argv)
+    if args.root:
+        written = process_all_patches(args.root, args.out)
+        print(f"[bands] wrote {len(written)} RGB patches to {args.out}")
+        return 0 if written else 1
+    if args.b2 and args.b3 and args.b4:
+        create_rgb_from_pngs(args.b2, args.b3, args.b4, args.out)
+        print(f"[bands] wrote {args.out}")
+        return 0
+    ap.error("need either --root or all of --b2/--b3/--b4")
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

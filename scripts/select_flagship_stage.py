@@ -10,14 +10,16 @@ knee) while the mix stage wins at high lambda (noise-free decoder leg).
 This script applies the same selection rule the in-run tracker uses — argmin
 of the validation RD loss  lambda * (1 - MS-SSIM) + bpp  (the training
 objective, reference /root/reference/code/modelv2/model.py:75-107 with
-LOSS.dist="msssim") — per lambda across the stage curves measured on the SAME
-held-out eval set, and installs the winners as the live flagship.
+LOSS.dist="msssim") — per lambda across stage curves all measured on one
+SELECTION-VAL set, and installs the winners as the live flagship.
 
 Stage curves are the agg_model_rd_summary CSVs the BD pipeline wrote for each
 stage (identical eval set, identical pipeline), so no re-evaluation is needed
-to select; the caller re-runs `eval.cli bd --reuse` afterwards so the
-installed composite curve is re-measured end-to-end from the actual installed
-checkpoints (never trust a compose-from-CSVs shortcut).
+to select.  Eval-set hygiene (round-4 three-way split): the curves handed to
+this script must come from the selection-val split ONLY; the caller then runs
+one end-to-end `eval.cli bd` of the installed checkpoints on a DISJOINT
+report-test split that no selection decision ever saw (never trust a
+compose-from-CSVs shortcut) — see scripts/live_retrain_r4.sh stages 9-10.
 
 Usage:
   python scripts/select_flagship_stage.py BD_DIR CKPT_ROOT \

@@ -84,6 +84,28 @@ def test_band_merge_files(tmp_path):
     assert rgb.shape == (32, 32, 3)
 
 
+def test_band_merge_cli(tmp_path):
+    """`python -m dsic_tpu.data.bands` mirrors the reference's standalone
+    band-merge entry points (combinebandsall.py:47-53, combinebands.py:16-26)
+    in batch and single-patch modes."""
+    from dsic_tpu.data.bands import main as bands_main
+    rng = np.random.default_rng(2)
+    patch = tmp_path / "patch_B"
+    patch.mkdir()
+    for band in ("B02", "B03", "B04"):
+        arr = rng.uniform(0, 1, size=(16, 16, 1)).astype(np.float32)
+        save_image(str(patch / f"T1_{band}.png"), np.repeat(arr, 3, axis=2))
+    out = tmp_path / "rgb_cli"
+    assert bands_main(["--root", str(tmp_path), "--out", str(out)]) == 0
+    assert load_image(str(out / "patch_B_RGB.png")).shape == (16, 16, 3)
+    single = tmp_path / "one.png"
+    assert bands_main(["--b2", str(patch / "T1_B02.png"),
+                       "--b3", str(patch / "T1_B03.png"),
+                       "--b4", str(patch / "T1_B04.png"),
+                       "--out", str(single)]) == 0
+    assert load_image(str(single)).shape == (16, 16, 3)
+
+
 def test_synthetic_patches_stats():
     p = synthetic_patches(4, (64, 64), seed=3)
     assert p.shape == (4, 64, 64, 3)
