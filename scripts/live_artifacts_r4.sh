@@ -16,7 +16,10 @@ MARKER="${3:-}"
 TEST="$WORK/test_data"
 OUT="$WORK/results_r4"
 CKPT="checkpoints/$RUN"
-FAMILIES="bmshj2018 mbt2018_mean charm2020 cheng2020_checkerboard cheng2020_gmm elic2022"
+FAMILIES="${FAMILIES:-bmshj2018 mbt2018_mean charm2020 cheng2020_checkerboard cheng2020_gmm elic2022}"
+# CFG: optional model-config override so a scaled-down CPU pilot can exercise
+# the whole artifact flow (same knob as live_retrain_r4.sh)
+EXTRA_CFG=(); [ -n "${CFG:-}" ] && EXTRA_CFG=(--config "$CFG")
 
 if [[ -n "$MARKER" ]]; then
     echo "waiting for $MARKER ..."
@@ -27,24 +30,24 @@ mkdir -p "$OUT"
 
 for fam in $FAMILIES; do
     echo "=== compare vs $fam (bpp-matched) ==="
-    python -m dsic_tpu.eval.cli compare --ckpt_root "$CKPT" \
+    python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" compare --ckpt_root "$CKPT" \
         --image "$TEST/patch_0001.png" --out "$OUT/compare_$fam" \
         --lambdas 10,100,1000 --vs "$fam"
 done
 
 echo "=== compare vs jpeg ==="
-python -m dsic_tpu.eval.cli compare --ckpt_root "$CKPT" \
+python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" compare --ckpt_root "$CKPT" \
     --image "$TEST/patch_0001.png" --out "$OUT/compare_jpeg" \
     --lambdas 10,100,1000 --vs jpeg
 
 echo "=== flagship latent analysis (all 5 artifact kinds) ==="
-python -m dsic_tpu.eval.cli latents --ckpt "$CKPT/alpha100lambda" \
+python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" latents --ckpt "$CKPT/alpha100lambda" \
     --images "$TEST" --out "$OUT/latents" --max_images 64
 
 echo "=== codec throughput (global + spatial table modes) ==="
-python -m dsic_tpu.eval.cli throughput --batch 32 \
+python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" throughput --batch "${TP_BATCH:-32}" \
     | tee "$OUT/throughput_global.txt"
-python -m dsic_tpu.eval.cli throughput --batch 32 --spatial_params \
+python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" throughput --batch "${TP_BATCH:-32}" --spatial_params \
     | tee "$OUT/throughput_spatial.txt"
 
 echo "round-4 artifacts complete: $OUT"
