@@ -155,6 +155,27 @@ def cmd_bd(args):
             csv.log(**m)
         print(f"{family} (live)", {k: round(v, 4) for k, v in m.items()})
         _write_selected(f"{family}_live", base, curve)
+    if args.live:
+        # Same-dataset JPEG leg: the reference's HEADLINE BD table is
+        # BD-MS-SSIM vs JPEG on its own eval set
+        # (writeupbdcurvesjpegALL.py:174 -> bd_metrics_summary_jpeg.csv,
+        # BASELINE.md -53.22%); recorded-curve BD above is cross-dataset.
+        from dsic_tpu.eval.rd_eval import evaluate_jpeg_baseline
+        jpeg_csv = os.path.join(args.out, "agg_jpeg_rd.csv")
+        if getattr(args, "reuse", False) and os.path.exists(jpeg_csv):
+            print(f"[bd] reusing jpeg curve {jpeg_csv}")
+            base = _read_curve(jpeg_csv)
+        else:
+            base = evaluate_jpeg_baseline(args.images, args.out,
+                                          max_images=args.max_images)
+        live_curves["jpeg"] = base
+        m = bd_metrics(curve, base)
+        with CsvLogger(os.path.join(args.out,
+                                    "bd_metrics_summary_jpeg_live.csv"),
+                       list(m.keys())) as csv:
+            csv.log(**m)
+        print("jpeg (live)", {k: round(v, 4) for k, v in m.items()})
+        _write_selected("jpeg_live", base, curve)
     if live_curves:
         # one overlay with every live family (balle-style RD comparison)
         plot_rd_curves(curve, args.out, label="model", baselines=live_curves)

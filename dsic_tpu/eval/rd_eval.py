@@ -204,6 +204,65 @@ def evaluate_zoo_qualities(cfg: Config, ckpt_root: str, image_dir: str,
     return {k: np.asarray(v) for k, v in agg.items()}
 
 
+def evaluate_jpeg_baseline(image_dir: str, out_dir: str,
+                           max_images: int = 1000, qualities=None,
+                           batch_size: int = 64) -> dict:
+    """LIVE same-dataset JPEG baseline curve: per-image PIL JPEG encode over
+    the reference's quality grid 10..100 step 10
+    (writeupbdcurvesjpegALL.py:31,63-66,110,208), metrics in jitted batches.
+    Writes per_image_jpeg_results.csv + agg_jpeg_rd.csv with the same schema
+    as the live zoo curves so BD-vs-JPEG — the reference's HEADLINE
+    comparison (writeupbdcurvesjpegALL.py:174, bd_metrics_summary_jpeg.csv)
+    — is measured on the SAME eval set as the flagship curve."""
+    from dsic_tpu.eval.jpeg import jpeg_encode_decode, JPEG_QUALITIES
+    from dsic_tpu.utils.image_io import list_images as _list, load_image
+    os.makedirs(out_dir, exist_ok=True)
+    qualities = tuple(qualities if qualities is not None else JPEG_QUALITIES)
+    paths = _list(image_dir)[:max_images]
+    images = [load_image(p) for p in paths]
+    names = [os.path.basename(p) for p in paths]
+
+    groups: dict[tuple, list[int]] = defaultdict(list)
+    for i, img in enumerate(images):
+        groups[img.shape].append(i)
+
+    agg = {"quality": [], "count": [], "bpp": [], "psnr": [], "msssim": []}
+    per_path = os.path.join(out_dir, "per_image_jpeg_results.csv")
+    with CsvLogger(per_path, ["quality", "image", "bpp", "mse", "psnr",
+                              "msssim"]) as per:
+        for q in qualities:
+            rows = []
+            for shape, idxs in groups.items():
+                h, w = shape[:2]
+                metrics = _metrics_fn(use_msssim=min(h, w) > 40)
+                for start in range(0, len(idxs), batch_size):
+                    chunk = idxs[start:start + batch_size]
+                    dec, nbytes = zip(*(jpeg_encode_decode(images[i], q)
+                                        for i in chunk))
+                    x = jnp.asarray(np.stack([images[i] for i in chunk]))
+                    mss_d, ps_d, mse_d = metrics(jnp.asarray(np.stack(dec)),
+                                                 x)
+                    mss, ps, mse = (np.asarray(mss_d), np.asarray(ps_d),
+                                    np.asarray(mse_d))
+                    for j, i in enumerate(chunk):
+                        row = {"quality": q, "image": names[i],
+                               "bpp": 8.0 * nbytes[j] / (h * w),
+                               "mse": float(mse[j]), "psnr": float(ps[j]),
+                               "msssim": float(mss[j])}
+                        per.log(**row)
+                        rows.append(row)
+            agg["quality"].append(q)
+            agg["count"].append(len(rows))
+            for key in ("bpp", "psnr", "msssim"):
+                agg[key].append(float(np.mean([r[key] for r in rows])))
+
+    with CsvLogger(os.path.join(out_dir, "agg_jpeg_rd.csv"),
+                   ["quality", "count", "bpp", "psnr", "msssim"]) as ag:
+        for i in range(len(agg["quality"])):
+            ag.log(**{k: agg[k][i] for k in agg})
+    return {k: np.asarray(v) for k, v in agg.items()}
+
+
 def plot_rd_curves(curve: dict, out_dir: str, label: str = "model",
                    baselines: dict | None = None):
     """The 4 reference plots: PSNR/MS-SSIM vs bpp, linear and log x

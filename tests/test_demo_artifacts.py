@@ -100,7 +100,11 @@ def test_live_bd_summaries_rederivable_from_curves():
     agg = _rows("agg_model_rd_summary.csv")
     curve = {k: np.asarray([float(r[k]) for r in agg])
              for k in ("bpp", "psnr", "msssim")}
-    for fam in FAMILIES:
+    # round-4 adds a same-dataset JPEG leg (the reference's headline
+    # comparison); include it once committed
+    fams = FAMILIES + (("jpeg",) if os.path.isfile(
+        os.path.join(BD, "bd_metrics_summary_jpeg_live.csv")) else ())
+    for fam in fams:
         base_rows = _rows(f"agg_{fam}_rd.csv")
         base = {k: np.asarray([float(r[k]) for r in base_rows])
                 for k in ("bpp", "psnr", "msssim")}
