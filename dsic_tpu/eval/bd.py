@@ -36,6 +36,21 @@ def _strictly_increasing(arr: np.ndarray, tiny: float) -> np.ndarray:
     return a
 
 
+def _finite_points(rate, quality):
+    """Drop points a log-rate interpolation cannot represent: non-finite
+    quality, non-finite or NON-POSITIVE rate. Non-positive estimated rates
+    do occur: the rate estimate is the continuous Student-t differential
+    entropy (reference model.py:75-107 parity), which goes negative when a
+    low-lambda checkpoint collapses its latents to a near-delta density
+    (observed: a noise-stage lambda=1 checkpoint at -0.15 bpp). Such points
+    carry no usable rate information, so BD integrates over the remaining
+    points (NaN if fewer than 2 survive on either side)."""
+    rate = np.asarray(rate, dtype=np.float64)
+    quality = np.asarray(quality, dtype=np.float64)
+    keep = np.isfinite(rate) & np.isfinite(quality) & (rate > 0)
+    return rate[keep], quality[keep]
+
+
 def _prep(rate, quality):
     """Sort by quality; jitter quality and log-rate strictly increasing
     (the reference's make_strictly_increasing, :114-120)."""
@@ -49,6 +64,10 @@ def _prep(rate, quality):
 
 def bd_rate(rate1, qual1, rate2, qual2) -> float:
     """Reference-construction BD-rate % of curve1 vs curve2."""
+    rate1, qual1 = _finite_points(rate1, qual1)
+    rate2, qual2 = _finite_points(rate2, qual2)
+    if len(rate1) < 2 or len(rate2) < 2:
+        return float("nan")
     q1, lr1 = _prep(rate1, qual1)
     q2, lr2 = _prep(rate2, qual2)
     p_min = max(q1.min(), q2.min())
@@ -68,6 +87,10 @@ def bd_rate(rate1, qual1, rate2, qual2) -> float:
 def bd_quality(rate1, qual1, rate2, qual2) -> float:
     """Reference-construction BD-quality gain of curve1 over curve2 at equal
     rate (dB for PSNR curves, raw difference for MS-SSIM curves)."""
+    rate1, qual1 = _finite_points(rate1, qual1)
+    rate2, qual2 = _finite_points(rate2, qual2)
+    if len(rate1) < 2 or len(rate2) < 2:
+        return float("nan")
     q1, lr1 = _prep(rate1, qual1)
     q2, lr2 = _prep(rate2, qual2)
     g1 = PchipInterpolator(lr1, q1)
@@ -82,6 +105,10 @@ def bd_quality(rate1, qual1, rate2, qual2) -> float:
 
 def bd_rate_log(rate1, qual1, rate2, qual2) -> float:
     """Classic log-domain Bjontegaard BD-rate % (for cross-checks)."""
+    rate1, qual1 = _finite_points(rate1, qual1)
+    rate2, qual2 = _finite_points(rate2, qual2)
+    if len(rate1) < 2 or len(rate2) < 2:
+        return float("nan")
     q1, lr1 = _prep(rate1, qual1)
     q2, lr2 = _prep(rate2, qual2)
     p_min = max(q1.min(), q2.min())

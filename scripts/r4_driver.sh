@@ -45,7 +45,8 @@ echo "[driver $(stamp)] === [A] retrain (STEPS=$STEPS) ==="
 if bash scripts/live_retrain_r4.sh "$WORK" "$STEPS" live4; then
     echo "[driver $(stamp)] retrain OK"
 else
-    echo "[driver $(stamp)] FATAL: retrain failed (rc=$?)"
+    rc=$?  # capture BEFORE $(stamp) clobbers $?
+    echo "[driver $(stamp)] FATAL: retrain failed (rc=$rc)"
     rm -f "$PIDFILE"
     exit 1
 fi

@@ -92,11 +92,34 @@ def main() -> int:
         print(f"installed stage {args.installed!r} has no curve", file=sys.stderr)
         return 2
 
+    import math
     lambdas = sorted(set().union(*[set(c) for c in stages.values()]))
     per_lam = []  # [(lam, {stage: (loss, bpp, psnr)})]
     for lam in lambdas:
-        opts = {s: (val_loss(lam, c[lam]), c[lam]["bpp"], c[lam]["psnr"])
-                for s, c in stages.items() if lam in c}
+        opts = {}
+        for s, c in stages.items():
+            if lam not in c:
+                continue
+            row = c[lam]
+            # A non-positive/non-finite estimated bpp means the checkpoint
+            # collapsed its rate leg below the continuous-entropy floor
+            # (differential Student-t entropy can go negative for near-delta
+            # densities). Its raw val loss can then WIN spuriously (negative
+            # rate term), but the point is degenerate — the real codec bpp
+            # is >= 0 and the curve artifact would carry a negative rate.
+            # Never install it.
+            if not (math.isfinite(row["bpp"]) and row["bpp"] > 0
+                    and math.isfinite(row["msssim"])
+                    and math.isfinite(row["psnr"])):
+                print(f"[select] lambda={lam}: stage {s} dropped "
+                      f"(degenerate point bpp={row['bpp']:.4g})")
+                continue
+            opts[s] = (val_loss(lam, row), row["bpp"], row["psnr"])
+        if not opts:
+            print(f"[select] lambda={lam}: NO valid stage point; keeping "
+                  f"installed stage", file=sys.stderr)
+            opts = {args.installed: (float("inf"), float("nan"),
+                                     float("nan"))}
         per_lam.append((lam, opts))
 
     argmin = {lam: min(o, key=lambda s: o[s][0]) for lam, o in per_lam}

@@ -122,6 +122,70 @@ def test_bd_metrics_degenerate_curves_yield_nan():
         assert all(np.isnan(v) for v in m.values())
 
 
+def test_bd_nonpositive_rate_points_are_dropped_not_fatal():
+    """A negative ESTIMATED bpp point (continuous Student-t differential
+    entropy of a collapsed low-lambda checkpoint — observed live: noise-stage
+    lambda=1 at -0.15 bpp) must be excluded from the interpolation, not
+    poison log(rate) into a PCHIP 'y must contain only finite values' crash
+    (the round-4 driver failure mode)."""
+    base = {"bpp": np.array([0.5, 1.0, 2.0, 3.0]),
+            "psnr": np.array([30.0, 33.0, 36.0, 38.0]),
+            "msssim": np.array([0.90, 0.93, 0.96, 0.97])}
+    bad = {"bpp": np.array([-0.15, 0.25, 1.0, 2.0]),
+           "psnr": np.array([19.5, 29.0, 34.0, 37.0]),
+           "msssim": np.array([0.66, 0.88, 0.94, 0.965])}
+    clean = {k: v[1:] for k, v in bad.items()}
+    m_bad = bd_metrics(bad, base)
+    m_clean = bd_metrics(clean, base)
+    for k in m_bad:
+        assert np.isfinite(m_bad[k]), k
+        np.testing.assert_allclose(m_bad[k], m_clean[k], rtol=1e-12)
+    # NaN points are dropped the same way
+    nan_pt = {k: np.where(np.arange(4) == 0, np.nan, v)
+              for k, v in bad.items()}
+    m_nan = bd_metrics(nan_pt, base)
+    for k in m_nan:
+        np.testing.assert_allclose(m_nan[k], m_clean[k], rtol=1e-12)
+    # and a curve left with < 2 usable points degrades to NaN, not a crash
+    mostly_bad = {"bpp": np.array([-0.2, -0.1, 0.0, 0.5]),
+                  "psnr": bad["psnr"], "msssim": bad["msssim"]}
+    assert all(np.isnan(v) for v in bd_metrics(mostly_bad, base).values())
+
+
+def test_stage_selection_drops_degenerate_bpp_option(tmp_path):
+    """select_flagship_stage must never install a stage whose selection-val
+    curve point has bpp <= 0, even when its raw val loss wins (the negative
+    rate term makes lam*(1-msssim)+bpp spuriously small)."""
+    import csv as _csv
+    import subprocess
+    import sys as _sys
+    rows = {
+        "noise_stage": [(1.0, -0.15, 19.5, 0.6568), (3.0, 0.13, 25.9, 0.771)],
+        "ste_stage": [(1.0, 0.11, 31.2, 0.78), (3.0, 0.20, 32.0, 0.80)],
+    }
+    stage_args = []
+    for st, rws in rows.items():
+        p = tmp_path / f"agg_{st}.csv"
+        with open(p, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["lambda", "count", "bpp", "mse", "psnr", "msssim"])
+            for lam, bpp, psnr, mss in rws:
+                w.writerow([lam, 2, bpp, 0.001, psnr, mss])
+        stage_args.append(f"{st}=agg_{st}.csv")
+    out = subprocess.run(
+        [_sys.executable, "scripts/select_flagship_stage.py",
+         str(tmp_path), str(tmp_path / "ckpt"),
+         "--stages", ",".join(stage_args), "--installed", "noise_stage",
+         "--dry_run"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr
+    assert "dropped" in out.stdout
+    sel = {float(r["lambda"]): r["stage"]
+           for r in _csv.DictReader(open(tmp_path / "stage_selection.csv"))}
+    assert sel[1.0] == "ste_stage"  # degenerate noise point never wins
+
+
 def test_bd_selected_rows_pin_reference_cheng_csv():
     """Per-selected-lambda BD vs the recorded cheng curve must reproduce the
     reference's bd_summary_selected_vs_cheng.csv exactly: lambda in
@@ -184,3 +248,36 @@ def test_compress_decompress_cli_roundtrip(tmp_path, monkeypatch):
                   "--out", str(tmp_path / "recon")])
     r = load_image_u8(str(tmp_path / "recon" / "patch_0000.png"))
     assert r.shape == (50, 70, 3)
+
+
+def test_evaluate_jpeg_baseline_live_curve(tmp_path):
+    """Same-dataset live JPEG leg (reference headline comparison,
+    writeupbdcurvesjpegALL.py:174): batched-metrics aggregate must match the
+    per-image jpeg_rd_curve on the identical image set, and the CSVs must
+    carry the live-curve schema."""
+    from dsic_tpu.data.synthetic import write_synthetic_dataset
+    from dsic_tpu.eval.rd_eval import evaluate_jpeg_baseline
+    from dsic_tpu.utils.image_io import list_images, load_image
+
+    img_dir = tmp_path / "imgs"
+    write_synthetic_dataset(str(img_dir), n=3, hw=(64, 64), seed=11)
+    out = tmp_path / "bd"
+    curve = evaluate_jpeg_baseline(str(img_dir), str(out),
+                                   qualities=(20, 60), batch_size=2)
+    assert curve["quality"].tolist() == [20, 60]
+    assert (curve["count"] == 3).all()
+    assert curve["bpp"][1] > curve["bpp"][0]
+    assert curve["psnr"][1] > curve["psnr"][0]
+
+    ref = jpeg_rd_curve([load_image(p) for p in list_images(str(img_dir))],
+                        qualities=(20, 60))
+    np.testing.assert_allclose(curve["bpp"], ref["bpp"], rtol=1e-6)
+    np.testing.assert_allclose(curve["psnr"], ref["psnr"], rtol=1e-4)
+    np.testing.assert_allclose(curve["msssim"], ref["msssim"], atol=1e-4)
+
+    agg = (out / "agg_jpeg_rd.csv").read_text().splitlines()
+    assert agg[0] == "quality,count,bpp,psnr,msssim"
+    assert len(agg) == 3
+    per = (out / "per_image_jpeg_results.csv").read_text().splitlines()
+    assert per[0] == "quality,image,bpp,mse,psnr,msssim"
+    assert len(per) == 1 + 2 * 3
