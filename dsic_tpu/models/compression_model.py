@@ -28,7 +28,8 @@ from dsic_tpu.models.layers import (
     AnalysisTransform, SynthesisTransform, HyperAnalysis, HyperSynthesis)
 from dsic_tpu.ops.quantize import quantize
 from dsic_tpu.ops.distributions import (
-    student_t_neg_log2_prob, gaussian_neg_log2_prob)
+    student_t_neg_log2_prob, gaussian_neg_log2_prob,
+    student_t_bin_neg_log2_prob, gaussian_bin_neg_log2_prob_z)
 from dsic_tpu.ops.msssim import ms_ssim
 from dsic_tpu.ops.pad import resize_bilinear
 
@@ -112,9 +113,26 @@ class CompressionModel(nn.Module):
         # StudentT.neg_log2_prob (distributions.py:24) independently of the
         # model's min_nu (constructor default 1.1), so a config with
         # min_nu < 2 must not change loss semantics.
-        nll_y = student_t_neg_log2_prob(y_tilde.astype(jnp.float32), sigma, nu)
-        nll_z = gaussian_neg_log2_prob(z_tilde.astype(jnp.float32),
-                                       self.z_log_sigma)
+        #
+        # noise/mix keep the reference's continuous-density estimate
+        # (model.py:57-59) — the additive-noise relaxation's training
+        # semantics. Discretely-quantized latents (round/STE: eval, and the
+        # STE fine-tune stage) instead charge the UNIT-BIN probability the
+        # rANS coder actually pays: the density estimate can go negative at
+        # collapsed sigma (impossible bits; it let pure-STE training park in
+        # a degenerate sigma->0 regime and reported negative bpp in eval),
+        # while the bin integral is >= 0 by construction and matches the
+        # codec tables built from the same CDFs.
+        if quant_mode in ("noise", "mix"):
+            nll_y = student_t_neg_log2_prob(y_tilde.astype(jnp.float32),
+                                            sigma, nu)
+            nll_z = gaussian_neg_log2_prob(z_tilde.astype(jnp.float32),
+                                           self.z_log_sigma)
+        else:
+            nll_y = student_t_bin_neg_log2_prob(
+                y_tilde.astype(jnp.float32), sigma, nu)
+            nll_z = gaussian_bin_neg_log2_prob_z(
+                z_tilde.astype(jnp.float32), self.z_log_sigma)
 
         # Decoder input: rounded latents at eval, the relaxed latents while
         # training (model.py:62) — except "mix", whose decoder trains on the
