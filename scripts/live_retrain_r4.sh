@@ -58,6 +58,36 @@ EXTRA_CFG=(); [ -n "${CFG:-}" ] && EXTRA_CFG=(--config "$CFG")
 ALL_FAMILIES="$(echo "$FAMILIES" | tr ' ' ',')"
 mkdir -p "$TRAIN" "$VAL" "$TEST" "$OUT"
 
+# --- restart resilience (PACK_WEIGHTS=1, set by the unattended driver) ---
+# The build VM persists ONLY git content across a host restart; two restarts
+# this round destroyed gitignored checkpoints/ and the whole $WORK tree
+# mid-pipeline. When enabled: (a) every finished training leg is packed to a
+# committable f16 npz (scripts/pack_ckpt.py) and git-committed immediately,
+# (b) measured eval CSVs are mirrored into demo_results/live/wip_$RUN and
+# committed, and the eval stages re-seed from that mirror on a rerun so a
+# restart costs minutes, not the multi-hour leg. All hooks are best-effort
+# (never fail the pipeline).
+PACK_WEIGHTS="${PACK_WEIGHTS:-0}"
+WIP="demo_results/live/wip_$RUN"
+
+archive_weights() {  # <src_root> <dst_subdir> <glob> <commit_msg>
+    [ "$PACK_WEIGHTS" = 1 ] || return 0
+    (
+        set +e
+        python scripts/pack_ckpt.py pack "$1" "weights/$RUN/$2" \
+            --glob "$3" --cpu &&
+            git add "weights/$RUN/$2" && git commit -m "$4"
+    ) || echo "WARN: weight archival failed for $2 (continuing)"
+    return 0
+}
+
+commit_wip() {  # <commit_msg>
+    [ "$PACK_WEIGHTS" = 1 ] || return 0
+    ( set +e; git add "$WIP" && git commit -m "$1" ) \
+        || echo "WARN: wip commit failed (continuing)"
+    return 0
+}
+
 if [ ! -f "$TRAIN/patch_0001.png" ]; then
 python - "$TRAIN" "$VAL" "$TEST" "$N_TRAIN" "$N_VAL" "$N_TEST" <<'PY'
 import sys
@@ -85,6 +115,8 @@ if [ ! -d "$CKPT/noise_stage/alpha10000lambda" ]; then
     for lam in 1 3 10 25 50 100 250 500 1000 10000; do
         mv "$CKPT/alpha${lam}lambda" "$CKPT/noise_stage/alpha${lam}lambda"
     done
+    archive_weights "$CKPT/noise_stage" flagship_noise_stage 'alpha*lambda' \
+        "Archive $RUN flagship noise-stage weights (10 lambdas, f16 npz)"
 else
     echo "noise stage exists; skipping"
 fi
@@ -102,6 +134,8 @@ if [ ! -d "$CKPT/ste_stage/alpha10000lambda" ]; then
         cp -r "checkpoints/${RUN}ste/$RUN/alpha${lam}lambda" \
               "$CKPT/ste_stage/alpha${lam}lambda"
     done
+    archive_weights "$CKPT/ste_stage" flagship_ste_stage 'alpha*lambda' \
+        "Archive $RUN flagship STE-stage weights (10 lambdas, f16 npz)"
 else
     echo "STE stage exists; skipping"
 fi
@@ -119,6 +153,8 @@ if [ ! -d "$CKPT/mix_stage/alpha10000lambda" ]; then
         cp -r "checkpoints/${RUN}mix/$RUN/alpha${lam}lambda" \
               "$CKPT/mix_stage/alpha${lam}lambda"
     done
+    archive_weights "$CKPT/mix_stage" flagship_mix_stage 'alpha*lambda' \
+        "Archive $RUN flagship mix-stage weights (10 lambdas, f16 npz)"
 else
     echo "mix stage exists; skipping"
 fi
@@ -137,6 +173,8 @@ for family in $FAMILIES; do
             --max_steps "$STEPS" --decay_steps "$STEPS" \
             --warmup_steps "$WARMUP" --family "$family" \
             --quality_sweep 1,2,3,4,5,6,7,8 --quality_vmap
+        archive_weights "$CKPT" zoo "${family}_q*" \
+            "Archive $RUN $family zoo weights (8 qualities, f16 npz)"
     fi
     stage=$((stage + 1))
 done
@@ -145,6 +183,13 @@ echo "=== [9/10] stage curves on SELECTION-VAL + cross-stage selection ==="
 VBD="$OUT/val_curves"
 mkdir -p "$VBD"
 for st in noise_stage ste_stage mix_stage; do
+    # re-seed from the committed mirror first: a host restart wipes $WORK
+    # but each finished val curve was committed below
+    if [ ! -f "$VBD/agg_model_rd_summary_${st}.csv" ] && \
+       [ -f "$WIP/val_curves/agg_model_rd_summary_${st}.csv" ]; then
+        cp "$WIP/val_curves/agg_model_rd_summary_${st}.csv" "$VBD/"
+        echo "re-seeded $st val curve from committed mirror"
+    fi
     if [ ! -f "$VBD/agg_model_rd_summary_${st}.csv" ]; then
         rm -f "$VBD/agg_model_rd_summary.csv" \
               "$VBD/per_image_per_lambda_results.csv"
@@ -154,6 +199,12 @@ for st in noise_stage ste_stage mix_stage; do
             --lambdas "$FLAG_LAMBDAS"
         mv "$VBD/agg_model_rd_summary.csv" \
            "$VBD/agg_model_rd_summary_${st}.csv"
+        if [ "$PACK_WEIGHTS" = 1 ]; then
+            mkdir -p "$WIP/val_curves"
+            cp "$VBD/agg_model_rd_summary_${st}.csv" "$WIP/val_curves/" \
+                || true
+            commit_wip "WIP: $RUN selection-val curve for $st (measured)"
+        fi
     fi
 done
 # install per-lambda winners at $CKPT/alpha{lam}lambda (selection sees ONLY
@@ -167,10 +218,46 @@ echo "=== [10/10] end-to-end BD on REPORT-TEST (installed checkpoints) ==="
 BD="$OUT/bd_live"
 mkdir -p "$BD"
 rm -f "$BD/agg_model_rd_summary.csv" "$BD/per_image_per_lambda_results.csv"
+# Re-seed finished legs from the committed mirror (each mirrored CSV was
+# measured end-to-end on $TEST before being committed — --reuse then skips
+# exactly those legs; partial legs never write an agg CSV, so they rerun).
+if [ -d "$WIP/bd_live" ]; then
+    for f in "$WIP/bd_live"/agg_*.csv; do
+        [ -f "$f" ] || continue
+        [ -f "$BD/$(basename "$f")" ] || {
+            cp "$f" "$BD/"; echo "re-seeded $(basename "$f") from mirror"; }
+    done
+fi
+# mirror each leg's agg CSV to git as it lands, so a mid-eval restart
+# costs one partial leg instead of the whole multi-hour report-test eval
+SYNC_PID=""
+if [ "$PACK_WEIGHTS" = 1 ]; then
+    (
+        set +e
+        while true; do
+            sleep 300
+            mkdir -p "$WIP/bd_live"
+            changed=0
+            for f in "$BD"/agg_*.csv; do
+                [ -f "$f" ] || continue
+                cmp -s "$f" "$WIP/bd_live/$(basename "$f")" || {
+                    cp "$f" "$WIP/bd_live/"; changed=1; }
+            done
+            if [ "$changed" = 1 ]; then
+                git add "$WIP/bd_live" &&
+                    git commit -m "WIP: $RUN report-test BD legs (measured, mirrored mid-eval)"
+            fi
+        done
+    ) &
+    SYNC_PID=$!
+fi
+bd_rc=0
 python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" bd \
     --ckpt_root "$CKPT" --images "$TEST" \
     --out "$BD" --max_images "$N_TEST" --lambdas "$FLAG_LAMBDAS" \
-    --live "$ALL_FAMILIES" --selected 1000,10000
+    --live "$ALL_FAMILIES" --selected 1000,10000 --reuse || bd_rc=$?
+if [ -n "$SYNC_PID" ]; then kill "$SYNC_PID" 2>/dev/null || true; fi
+[ "$bd_rc" = 0 ] || exit "$bd_rc"
 # The acceptance check is a QUALITY gate, not a pipeline failure: record its
 # verdict but exit 0 so an unattended driver still proceeds to artifacts +
 # bench (a deterministic FAIL would otherwise trigger pointless retries of

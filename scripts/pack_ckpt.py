@@ -112,7 +112,14 @@ def main():
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("--glob", default="*", help="checkpoint dir name filter")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (pack/unpack is host-side "
+                         "work; avoids a slow TPU claim and never contends "
+                         "with a live training job)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.mode == "pack":
         n = pack(args.src, args.dst, args.glob)
     else:

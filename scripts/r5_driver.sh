@@ -64,6 +64,9 @@ done
 
 export N_VAL="${N_VAL:-192}" N_TEST="${N_TEST:-500}"
 export FAMILIES="${FAMILIES:-bmshj2018 mbt2018_mean cheng2020_checkerboard elic2022}"
+# archive every finished training leg + measured eval CSV to git as it
+# lands (two host restarts this round destroyed all non-git state mid-run)
+export PACK_WEIGHTS="${PACK_WEIGHTS:-1}"
 
 echo "[driver $(stamp)] === [A] retrain (STEPS=$STEPS, RUN=$RUN) ==="
 if bash scripts/live_retrain_r4.sh "$WORK" "$STEPS" "$RUN"; then
