@@ -85,7 +85,7 @@ def pack(root: str, out_dir: str, pattern: str) -> int:
     return n
 
 
-def unpack(in_dir: str, root: str) -> int:
+def unpack(in_dir: str, root: str, skip_existing: bool = False) -> int:
     from dsic_tpu.utils.checkpoint import save_checkpoint
     os.makedirs(root, exist_ok=True)
     n = 0
@@ -93,6 +93,9 @@ def unpack(in_dir: str, root: str) -> int:
         if not fname.endswith(".npz"):
             continue
         name = fname[:-4]
+        if skip_existing and os.path.exists(
+                os.path.join(root, name, "_CHECKPOINT_METADATA")):
+            continue
         with np.load(os.path.join(in_dir, fname)) as z:
             flat = {k: z[k] for k in z.files}
         step = int(flat.pop("__step__"))
@@ -116,6 +119,9 @@ def main():
                     help="force the CPU backend (pack/unpack is host-side "
                          "work; avoids a slow TPU claim and never contends "
                          "with a live training job)")
+    ap.add_argument("--skip-existing", action="store_true",
+                    help="unpack: leave checkpoints that already exist on "
+                         "disk untouched (self-healing driver restore)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -123,8 +129,8 @@ def main():
     if args.mode == "pack":
         n = pack(args.src, args.dst, args.glob)
     else:
-        n = unpack(args.src, args.dst)
-    if n == 0:
+        n = unpack(args.src, args.dst, skip_existing=args.skip_existing)
+    if n == 0 and not args.skip_existing:
         print("nothing matched", file=sys.stderr)
         return 1
     return 0

@@ -62,6 +62,22 @@ for fam in bmshj2018 mbt2018_mean charm2020 cheng2020_checkerboard \
     done
 done
 
+echo "[driver $(stamp)] === [0b] restore archived checkpoints missing on disk ==="
+# A host restart destroys gitignored checkpoints/ but every finished
+# training leg is committed to weights/$RUN as f16 npz; restoring the
+# missing ones here makes the watchdog's relaunch fully self-healing
+# (skip-if-done then skips every restored leg instead of retraining it).
+for pair in "flagship_noise_stage:noise_stage" "flagship_ste_stage:ste_stage" \
+            "flagship_mix_stage:mix_stage" "zoo:."; do
+    src="weights/${RUN}/${pair%%:*}"
+    dst="checkpoints/${RUN}/${pair##*:}"
+    if [ -d "$src" ]; then
+        python scripts/pack_ckpt.py unpack "$src" "$dst" \
+            --cpu --skip-existing \
+            || echo "[driver $(stamp)] WARN: restore from $src failed"
+    fi
+done
+
 export N_VAL="${N_VAL:-192}" N_TEST="${N_TEST:-500}"
 export FAMILIES="${FAMILIES:-bmshj2018 mbt2018_mean cheng2020_checkerboard elic2022}"
 # archive every finished training leg + measured eval CSV to git as it
