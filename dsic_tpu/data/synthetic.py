@@ -1,5 +1,11 @@
 """Synthetic satellite-like patches for tests, benchmarks, and live demos.
 
+Round-5 generator, rev c: rev b with the oriented-grating band capped at
+0.16 cycles/px — see _grating's docstring for the measured rationale
+(scripts/diag_floor.py: the rev-b near-Nyquist gratings were an
+unlearnable distortion floor through the 16x bottleneck, the root cause
+of the round-4 non-monotone MS-SSIM curve).
+
 Round-4 hardened generator, rev b ("learnable-hard"): real Sentinel-2
 patches are NOT all smooth fields, and a corpus of only low-frequency
 content saturates MS-SSIM at the top of the rate range (every model lands
@@ -85,10 +91,24 @@ def _fbm(rng: np.random.Generator, hw, slope: float, channels: int = 3):
 
 def _grating(rng: np.random.Generator, hw):
     """Oriented sinusoidal texture (plough lines): random direction,
-    frequency 0.08-0.35 cycles/px, random phase."""
+    frequency 0.05-0.16 cycles/px (period >= ~6 px), random phase.
+
+    Round-5 revision (rev c): the rev-b band went up to 0.35 cycles/px
+    (period ~3 px). Component-ablation of the live5 mix-stage checkpoints
+    (scripts/diag_floor.py) showed those near-Nyquist gratings are the
+    distortion floor: at lambda=10000 full-corpus MSE pinned at 1.59e-3
+    (PSNR 28.9) while the same model on frequency-capped gratings reached
+    5.7e-4 (PSNR 33.3) — i.e. the model cannot phase-lock a 3 px carrier
+    through the 16x analysis bottleneck at ANY rate, so every lambda >= 250
+    bought bpp without distortion, and MS-SSIM (whose fine-scale structure
+    term punishes a wrong-phase grating harder than a missing one) peaked
+    at lambda=3 and fell — the round-4 VERDICT's non-monotone curve.
+    Period >= 6 px stays JPEG-hard (mid-band DCT coefficients are exactly
+    what low-quality JPEG quantizes away) but is reconstructable, so the
+    high-rate end of the curve is reachable instead of floored."""
     h, w = hw
     theta = rng.uniform(0, np.pi)
-    freq = rng.uniform(0.08, 0.35)
+    freq = rng.uniform(0.05, 0.16)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     phase = rng.uniform(0, 2 * np.pi)
     arg = 2 * np.pi * freq * (np.cos(theta) * xx + np.sin(theta) * yy) + phase
