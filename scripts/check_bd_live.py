@@ -60,6 +60,15 @@ def main():
                         "least this range (round-4 VERDICT 'done' bar: "
                         "0.05). 0 keeps the legacy saturation-waiver "
                         "behavior for older artifact sets.")
+    p.add_argument("--expect-lambdas", type=int, default=0,
+                   help="FAIL unless the flagship agg CSV has exactly this "
+                        "many rows (ADVICE r4 medium: rd_eval WARN-and-"
+                        "skips unloadable checkpoints and still writes the "
+                        "agg CSV, so a short curve means a silently-"
+                        "dropped leg, not a measured table). 0 disables.")
+    p.add_argument("--expect-qualities", type=int, default=0,
+                   help="Same row-count gate for each live family's "
+                        "agg_{family}_rd.csv. 0 disables.")
     args = p.parse_args()
     tol = 0.0 if args.strict else args.msssim_tol
     allow = {s for s in args.allow_nan_families.split(",") if s}
@@ -67,6 +76,12 @@ def main():
 
     agg = os.path.join(args.bd_dir, "agg_model_rd_summary.csv")
     rows = read_rows(agg)
+    if args.expect_lambdas and len(rows) != args.expect_lambdas:
+        failures.append(f"flagship curve has {len(rows)} rows, expected "
+                        f"{args.expect_lambdas} (a lambda leg was "
+                        "silently skipped)")
+        print(f"flagship row count: {len(rows)} != {args.expect_lambdas} "
+              "FAIL")
     rows.sort(key=lambda r: float(r["lambda"]))
     lam = [float(r["lambda"]) for r in rows]
     bpp = [float(r["bpp"]) for r in rows]
@@ -98,6 +113,13 @@ def main():
         fam = os.path.basename(path)[len("bd_metrics_summary_"):-len("_live.csv")]
         fam_csv = os.path.join(args.bd_dir, f"agg_{fam}_rd.csv")
         fam_rows = read_rows(fam_csv) if os.path.exists(fam_csv) else []
+        if (args.expect_qualities and fam != "jpeg"
+                and len(fam_rows) != args.expect_qualities):
+            failures.append(f"{fam}: curve has {len(fam_rows)} rows, "
+                            f"expected {args.expect_qualities} (a quality "
+                            "leg was silently skipped)")
+            print(f"{fam} row count: {len(fam_rows)} != "
+                  f"{args.expect_qualities} FAIL")
         nan_cells = [
             k for row in read_rows(path) for k, v in row.items()
             if v not in (None, "") and _is_nan(v)

@@ -14,7 +14,7 @@ WORK="${1:-/root/work/live4}"
 RUN="${2:-live4}"
 MARKER="${3:-}"
 TEST="$WORK/test_data"
-OUT="$WORK/results_r4"
+OUT="$WORK/${RESULTS_SUBDIR:-results_r4}"
 CKPT="checkpoints/$RUN"
 FAMILIES="${FAMILIES:-bmshj2018 mbt2018_mean charm2020 cheng2020_checkerboard cheng2020_gmm elic2022}"
 # CFG: optional model-config override so a scaled-down CPU pilot can exercise

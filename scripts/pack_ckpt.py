@@ -85,7 +85,8 @@ def pack(root: str, out_dir: str, pattern: str) -> int:
     return n
 
 
-def unpack(in_dir: str, root: str, skip_existing: bool = False) -> int:
+def unpack(in_dir: str, root: str, skip_existing: bool = False,
+           pattern: str = "*") -> int:
     from dsic_tpu.utils.checkpoint import save_checkpoint
     os.makedirs(root, exist_ok=True)
     n = 0
@@ -93,6 +94,8 @@ def unpack(in_dir: str, root: str, skip_existing: bool = False) -> int:
         if not fname.endswith(".npz"):
             continue
         name = fname[:-4]
+        if not fnmatch.fnmatch(name, pattern):
+            continue
         if skip_existing and os.path.exists(
                 os.path.join(root, name, "_CHECKPOINT_METADATA")):
             continue
@@ -129,7 +132,8 @@ def main():
     if args.mode == "pack":
         n = pack(args.src, args.dst, args.glob)
     else:
-        n = unpack(args.src, args.dst, skip_existing=args.skip_existing)
+        n = unpack(args.src, args.dst,
+                   skip_existing=args.skip_existing, pattern=args.glob)
     if n == 0 and not args.skip_existing:
         print("nothing matched", file=sys.stderr)
         return 1

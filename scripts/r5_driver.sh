@@ -7,11 +7,16 @@
 #
 # Differences vs r4_driver.sh, all forced by the remaining round budget
 # (~2h of TPU wall-clock at launch):
-#   - flagship-only retrain (STEPS default 6000); the six zoo families are
-#     REUSED from checkpoints/live4 (hardlink-copied) as eval-only baselines
-#     - they were trained for 12000 steps on the PREVIOUS corpus, which if
-#     anything advantages them on rate (lower-entropy data) and is recorded
-#     as a caveat in the committed results.
+#   - flagship retrain at STEPS default 6000. The zoo stage [0] below TRIES
+#     to reuse checkpoints/live4, but in the actual round-4 run a host
+#     restart had already destroyed live4, so the zoo fell through to
+#     live_retrain_r4.sh's training stages and was RETRAINED FROM SCRATCH
+#     on the fixed corpus at the same 6000 steps (git log: six "Archive
+#     live5 ... zoo weights" commits, 2026-08-19). The original header here
+#     said "reused from live4 / trained on the previous corpus" — that
+#     provenance was stale and wrong for the committed live5 results
+#     (VERDICT r4 weak #4); corrected 2026-08-19. Superseded by
+#     scripts/r6_driver.sh, which records zoo provenance per family.
 #   - selection-val 192 images, report-test 500 images, 4 BD family legs
 #     (+ the live JPEG leg).
 #   - bench runs BEFORE the artifact refresh so the headline deliverables
@@ -96,7 +101,7 @@ fi
 
 echo "[driver $(stamp)] === [B] install bd_live + val_curves ==="
 if bash scripts/install_r4_artifacts.sh "$WORK"; then
-    commit_results "Round-4 final BD table on the fixed corpus (flagship live5 STEPS=$STEPS, 500-image report-test, zoo reused from live4 as eval-only baselines)"
+    commit_results "Round-4 final BD table on the fixed corpus (flagship live5 STEPS=$STEPS, 500-image report-test, zoo retrained from scratch on the same corpus at equal steps)"
 fi
 
 echo "[driver $(stamp)] === [E] bench capture (before artifacts) ==="

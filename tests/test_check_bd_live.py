@@ -101,3 +101,13 @@ def test_dominance_nan_allowed_degenerate_nan_not(tmp_path):
         w.writerow({"bd_rate_psnr_pct": -10.0, "bd_psnr_db": float("nan"),
                     "bd_rate_mss_pct": -5.0, "bd_mss_diff": 0.05})
     assert _run(bd).returncode == 1
+
+
+def test_row_count_gate(tmp_path):
+    """ADVICE r4 medium: a short curve (silently-skipped leg) must FAIL when
+    the pipeline passes its expected row counts."""
+    bd = _bd_dir(tmp_path, [0.90, 0.95, 0.96])  # 3 lambdas
+    assert _run(bd, "--expect-lambdas", "3").returncode == 0
+    assert _run(bd, "--expect-lambdas", "10").returncode == 1
+    # family leg present with no agg CSV -> 0 rows != expected
+    assert _run(bd, "--expect-qualities", "8").returncode == 1

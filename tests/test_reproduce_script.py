@@ -34,7 +34,7 @@ def test_reproduce_baseline_dry_run(tmp_path):
     out = work / "results"
     # every stage left its artifact
     assert (out / "rd" / "agg_model_rd_summary.csv").exists()
-    assert (out / "bd" / "bd_metrics_summary_jpeg.csv").exists()
+    assert (out / "bd" / "bd_metrics_summary_jpeg_crossdataset.csv").exists()
     assert (out / "bd" / "agg_bmshj2018_rd.csv").exists()  # live leg ran
     # same-dataset JPEG leg (reference headline comparison) ran too
     assert (out / "bd" / "agg_jpeg_rd.csv").exists()
