@@ -12,6 +12,7 @@ writeupbdcurvesballeALL.py:438-473 — noted there as an inefficiency).
 
 from __future__ import annotations
 
+import functools
 import os
 from collections import defaultdict
 
@@ -26,8 +27,23 @@ from dsic_tpu.train.state import build_model, create_train_state
 from dsic_tpu.utils.checkpoint import restore_checkpoint
 from dsic_tpu.utils.csv_logger import CsvLogger
 
+# restore templates per zoo (family, N, M) group — device param init is
+# ~60s over the tunnel, shared within each architecture group
+_tmpl_cache: dict = {}
 
+
+@functools.lru_cache(maxsize=24)
 def _eval_batch_fn(model):
+    """Jitted eval forward, MEMOIZED on the model's structural identity.
+
+    flax Modules hash/compare by field values, so two legs of a sweep that
+    rebuild `CompressionModel(N=128, M=192)` get the SAME jitted callable —
+    the compiled executable is reused across every lambda/quality leg with
+    the same architecture instead of recompiling per leg (round-5 eval
+    speedup: a 58-leg live-BD sweep previously re-jitted fresh closures per
+    leg and needed a per-leg jax.clear_caches() to stay under host RSS; the
+    memo bounds the cache at <= maxsize architectures x batch shapes, so
+    neither the leak nor the per-leg recompile exists anymore)."""
     @jax.jit
     def run(params, x_pad):
         if x_pad.dtype == jnp.uint8:  # wire format: normalize on device
@@ -39,9 +55,10 @@ def _eval_batch_fn(model):
     return run
 
 
+@functools.lru_cache(maxsize=4)
 def _metrics_fn(use_msssim: bool):
     """One jitted call for all per-image metrics (a single host sync per
-    batch instead of one per metric)."""
+    batch instead of one per metric). Memoized: only two variants exist."""
     @jax.jit
     def run(x_hat, x):
         if x.dtype == jnp.uint8:
@@ -129,11 +146,12 @@ def evaluate_model_lambdas(cfg: Config, ckpt_root: str, image_dir: str,
             for key in ("bpp", "mse", "psnr", "msssim"):
                 agg[key].append(float(np.mean([r[key] for r in rows])))
             del state, params
-            # every iteration jits fresh closures, so the compile cache only
-            # GROWS across a sweep — a 58-model live-BD run leaked to 130 GB
-            # host RSS and got OOM-killed. Nothing is reused between models;
-            # drop the executables.
-            jax.clear_caches()
+            # NOTE: no jax.clear_caches() here. Historically every leg
+            # jitted fresh closures and a 58-model live-BD run leaked to
+            # 130 GB host RSS; _eval_batch_fn/_metrics_fn are now memoized
+            # on model identity, so all lambda legs share ONE compiled
+            # executable and the cache is bounded (and warm for the next
+            # leg: ~30s compile saved per leg over the tunnel).
 
     with CsvLogger(os.path.join(out_dir, "agg_model_rd_summary.csv"),
                    ["lambda", "count", "bpp", "mse", "psnr", "msssim"]) as ag:
@@ -177,8 +195,15 @@ def evaluate_zoo_qualities(cfg: Config, ckpt_root: str, image_dir: str,
             qcfg = cfg.replace(MODEL=dataclasses.replace(
                 cfg.MODEL, family=family, N=preset["N"], M=preset["M"]))
             model = build_model(qcfg, train_dtype=None)
-            _, _, template = create_train_state(
-                qcfg, jax.random.PRNGKey(0), sample_shape=(1, 64, 64, 3))
+            # one restore template per (family, N, M) group, not per
+            # quality: create_train_state inits params on device (~60s
+            # over the tunnel), and zoo presets share an architecture
+            # within each group — 8 qualities need <= 2 inits, not 8.
+            tkey = (family, preset["N"], preset["M"])
+            if tkey not in _tmpl_cache:
+                _, _, _tmpl_cache[tkey] = create_train_state(
+                    qcfg, jax.random.PRNGKey(0), sample_shape=(1, 64, 64, 3))
+            template = _tmpl_cache[tkey]
             path = os.path.join(ckpt_root, zoo_ckpt_name(family, q))
             try:
                 state, _ = restore_checkpoint(path, template)
@@ -195,7 +220,9 @@ def evaluate_zoo_qualities(cfg: Config, ckpt_root: str, image_dir: str,
             for key in ("bpp", "mse", "psnr", "msssim"):
                 agg[key].append(float(np.mean([r[key] for r in rows])))
             del state, params
-            jax.clear_caches()  # fresh closures per quality; see above
+            # no clear_caches: eval closures are memoized (see
+            # _eval_batch_fn) — same-architecture qualities share one
+            # compiled executable
 
     with CsvLogger(os.path.join(out_dir, f"agg_{family}_rd.csv"),
                    ["quality", "count", "bpp", "psnr", "msssim"]) as ag:
