@@ -247,8 +247,8 @@ def _probe_host_rans(repeats: int = REPEATS):
     """Host-only batched rANS Msym/s on a codec-shaped workload (192 rows x
     16x16 sites x 16 images) — the same shape the pinned micro-bench in
     tests/test_codec.py uses, so the two numbers are comparable."""
-    from dsic_tpu.codec.rans import (rans_encode_batch, rans_decode_batch,
-                                     quantize_pmf_to_cdf)
+    from dsic_tpu.codec.rans import rans_encode_batch, rans_decode_batch
+    from dsic_tpu.codec import quantize_pmf_to_cdf
     rng = np.random.default_rng(0)
     rows, hw, B, L = 192, 16 * 16, 16, 48
     n = rows * hw
