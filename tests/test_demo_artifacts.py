@@ -1,20 +1,20 @@
 """Committed live-BD artifacts stay self-consistent.
 
 Guards demo_results/live (the round's headline artifact set) against rot.
-Two layouts are supported:
+The round-4+ layout is REQUIRED (``val_curves/stage_selection.csv``
+present): the committed ``bd_live`` table was measured END-TO-END on the
+report-test set and the selection record was derived on a disjoint
+selection-val set. The tests re-run the acceptance checker (with the
+MS-SSIM span gate and the row-count gates), verify the selection record's
+per-stage val losses EXACTLY against the committed val stage curves (rel
+tolerance = CSV rounding only, not eval noise), and re-derive every BD
+summary — including the per-selected-lambda rows — from the committed
+curves.
 
-* round-4+ (``val_curves/stage_selection.csv`` present): the committed
-  ``bd_live`` table was measured END-TO-END on the report-test set and the
-  selection record was derived on a disjoint selection-val set.  The test
-  re-runs the acceptance checker (with the MS-SSIM span gate), verifies the
-  selection record's per-stage val losses EXACTLY against the committed val
-  stage curves (rel tolerance = CSV rounding only, not eval noise), and
-  re-derives every BD summary — including the per-selected-lambda rows —
-  from the committed curves.
-
-* legacy round-3 (no ``val_curves``): the agg CSV was composed from
-  per-stage measured rows during a TPU outage (CLAUDE.md round-3 caveat a),
-  so stage-row consistency is checked at eval-noise tolerance.
+The legacy round-3 composed-table checks were deleted in round 5 (VERDICT
+r4 weak #7: strictness must not be contingent on skips); until a round-5
+PASS table is installed the round-4-layout tests skip rather than
+silently validating the old layout.
 """
 import csv
 import math
@@ -43,29 +43,17 @@ def _rows(name, base=None):
 
 
 def test_checker_passes_on_committed_artifacts():
+    """The committed table must PASS the acceptance checker INCLUDING the
+    round-4 'done' bars: MS-SSIM span >= 0.05 and full row counts (a
+    committed table is only ever installed from a PASS — r6_driver.sh)."""
+    if not ROUND4:
+        pytest.skip("no round-4+ committed table yet (install is gated on "
+                    "a checker PASS)")
     cmd = [sys.executable, os.path.join(REPO, "scripts", "check_bd_live.py"),
-           BD]
-    if ROUND4:
-        cmd += ["--min-mss-span", "0.05"]
+           BD, "--min-mss-span", "0.05",
+           "--expect-lambdas", "10", "--expect-qualities", "8"]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stdout + out.stderr
-
-
-@pytest.mark.skipif(ROUND4, reason="round-4 layout: selection is on val")
-def test_flagship_agg_matches_selection_record_legacy():
-    sel = {float(r["lambda"]): r["stage"]
-           for r in _rows("stage_selection.csv")}
-    agg = {float(r["lambda"]): r for r in _rows("agg_model_rd_summary.csv")}
-    assert set(agg) == set(sel)
-    for lam, stage in sel.items():
-        stage_rows = {float(r["lambda"]): r
-                      for r in _rows(f"agg_model_rd_summary_{stage}.csv")}
-        for k in ("bpp", "psnr", "msssim"):
-            # rel=2%: a composed agg matches its stage rows exactly; an
-            # end-to-end re-measure of the installed composite differs from
-            # the stage measurement only by eval noise
-            assert float(agg[lam][k]) == pytest.approx(
-                float(stage_rows[lam][k]), rel=2e-2), (lam, stage, k)
 
 
 @pytest.mark.skipif(not ROUND4, reason="legacy round-3 layout")
