@@ -30,6 +30,21 @@ BD = os.path.join(LIVE, "bd_live")
 VAL = os.path.join(LIVE, "val_curves")
 ROUND4 = os.path.isfile(os.path.join(VAL, "stage_selection.csv"))
 
+
+def _bd_is_gated_install():
+    """True iff the committed bd_live table went through the round-5
+    acceptance gate (live_retrain_r5.sh appends ``CHECK_RC=`` to the
+    table's own CHECK.txt; r6_driver.sh installs only on CHECK_RC=0).
+    The pre-gate round-3 table has no CHECK_RC line, and val_curves may
+    be installed independently of bd_live (they are verdict-independent
+    measurements), so the strict-checker test must key on the BD table
+    itself, not on ROUND4."""
+    path = os.path.join(BD, "CHECK.txt")
+    if not os.path.isfile(path):
+        return False
+    with open(path) as f:
+        return "CHECK_RC=0" in f.read()
+
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(BD), reason="no committed live bd artifacts")
 
@@ -46,9 +61,10 @@ def test_checker_passes_on_committed_artifacts():
     """The committed table must PASS the acceptance checker INCLUDING the
     round-4 'done' bars: MS-SSIM span >= 0.05 and full row counts (a
     committed table is only ever installed from a PASS — r6_driver.sh)."""
-    if not ROUND4:
-        pytest.skip("no round-4+ committed table yet (install is gated on "
-                    "a checker PASS)")
+    if not _bd_is_gated_install():
+        pytest.skip("committed bd_live is not a round-5 gated install "
+                    "(pre-gate table; install only happens on a checker "
+                    "PASS, so the strict bars would mis-fire here)")
     cmd = [sys.executable, os.path.join(REPO, "scripts", "check_bd_live.py"),
            BD, "--min-mss-span", "0.05",
            "--expect-lambdas", "10", "--expect-qualities", "8"]
@@ -106,8 +122,11 @@ def test_live_bd_summaries_rederivable_from_curves():
                 assert v == pytest.approx(w, rel=1e-6, abs=1e-6), (fam, k)
 
 
-@pytest.mark.skipif(not ROUND4, reason="legacy round-3 layout")
 def test_selected_lambda_bd_rows_rederivable():
+    if not _bd_is_gated_install():
+        pytest.skip("committed bd_live is not a round-5 gated install "
+                    "(the selected-lambda BD rows are written by the "
+                    "round-4+ eval, absent from the pre-gate table)")
     import numpy as np
     from dsic_tpu.eval.bd import bd_selected_rows
     agg = _rows("agg_model_rd_summary.csv")
