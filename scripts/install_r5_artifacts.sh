@@ -32,10 +32,14 @@ fi
 
 rm -rf "$DST/val_curves"
 cp -r "$SRC/val_curves" "$DST/val_curves"
+# Per-leg compare install: a deadline-stopped partial artifact refresh
+# (live_artifacts_r4.sh rc=42) must only replace the legs it actually
+# re-measured, never delete the ones it didn't get to.
 if compgen -G "$SRC/compare_*" > /dev/null; then
-    rm -rf "$DST"/compare_*
     for d in "$SRC"/compare_*; do
-        [ -d "$d" ] && cp -r "$d" "$DST/$(basename "$d")"
+        [ -d "$d" ] || continue
+        rm -rf "$DST/$(basename "$d")"
+        cp -r "$d" "$DST/$(basename "$d")"
     done
 fi
 if [ -d "$SRC/latents" ]; then

@@ -28,26 +28,46 @@ if [[ -n "$MARKER" ]]; then
 fi
 mkdir -p "$OUT"
 
+# Honor the driver's wall-clock deadline BETWEEN legs (r6_driver.sh only
+# checks it between stages, so a leg started at deadline-minus-epsilon
+# would otherwise hold the single TPU through the round-end bench window —
+# the VERDICT r4 #3 failure mode). rc=42 tells the driver this was a clean
+# early stop, not a broken leg; install_r5_artifacts.sh installs per-leg
+# so a partial refresh never deletes legs it didn't re-measure.
+deadline_stop() {
+    if [ -n "${R6_DEADLINE_EPOCH:-}" ] &&
+       [ "$(date +%s)" -ge "$R6_DEADLINE_EPOCH" ]; then
+        echo "deadline reached — stopping artifact refresh early (partial: $OUT)"
+        exit 42
+    fi
+}
+
+# Cheap, whole-class artifacts first (latents = all 5 kinds in one run,
+# throughput = 2 short runs) so a deadline stop costs compare legs, not
+# artifact classes.
+echo "=== flagship latent analysis (all 5 artifact kinds) ==="
+python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" latents --ckpt "$CKPT/alpha100lambda" \
+    --images "$TEST" --out "$OUT/latents" --max_images 64
+
+deadline_stop
+echo "=== codec throughput (global + spatial table modes) ==="
+python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" throughput --batch "${TP_BATCH:-32}" \
+    | tee "$OUT/throughput_global.txt"
+python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" throughput --batch "${TP_BATCH:-32}" --spatial_params \
+    | tee "$OUT/throughput_spatial.txt"
+
 for fam in $FAMILIES; do
+    deadline_stop
     echo "=== compare vs $fam (bpp-matched) ==="
     python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" compare --ckpt_root "$CKPT" \
         --image "$TEST/patch_0001.png" --out "$OUT/compare_$fam" \
         --lambdas 10,100,1000 --vs "$fam"
 done
 
+deadline_stop
 echo "=== compare vs jpeg ==="
 python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" compare --ckpt_root "$CKPT" \
     --image "$TEST/patch_0001.png" --out "$OUT/compare_jpeg" \
     --lambdas 10,100,1000 --vs jpeg
-
-echo "=== flagship latent analysis (all 5 artifact kinds) ==="
-python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" latents --ckpt "$CKPT/alpha100lambda" \
-    --images "$TEST" --out "$OUT/latents" --max_images 64
-
-echo "=== codec throughput (global + spatial table modes) ==="
-python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" throughput --batch "${TP_BATCH:-32}" \
-    | tee "$OUT/throughput_global.txt"
-python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" throughput --batch "${TP_BATCH:-32}" --spatial_params \
-    | tee "$OUT/throughput_spatial.txt"
 
 echo "round-4 artifacts complete: $OUT"
