@@ -45,6 +45,7 @@ deadline_stop() {
 # Cheap, whole-class artifacts first (latents = all 5 kinds in one run,
 # throughput = 2 short runs) so a deadline stop costs compare legs, not
 # artifact classes.
+deadline_stop
 echo "=== flagship latent analysis (all 5 artifact kinds) ==="
 python -m dsic_tpu.eval.cli "${EXTRA_CFG[@]}" latents --ckpt "$CKPT/alpha100lambda" \
     --images "$TEST" --out "$OUT/latents" --max_images 64
