@@ -78,12 +78,22 @@ class Codec:
         if compute_dtype is not None and compute_dtype != model.dtype:
             model = model.clone(dtype=compute_dtype)
         self.model = model
-        self.params = params
         self.cfg = cfg or CodecConfig()
         self._batch_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        # Pin params on device ONCE (replicated over the mesh if sharded).
+        # orbax restores to host numpy; passing host params to the jitted
+        # entry points re-uploads the full tree on EVERY call — over the
+        # ~70 MB/s tunnel that costs seconds per dispatch, and the transfer
+        # staging buffers were observed to accumulate on the host (the
+        # 130 GB RSS OOM of the round-5 58-leg BD eval).
+        if mesh is not None:
+            from dsic_tpu.parallel.mesh import replicated
+            self.params = jax.device_put(params, replicated(mesh))
+        else:
+            self.params = jax.device_put(params)
         # one CDF row per y ELEMENT (vs per channel); stored in the bitstream
         # header so decode picks the matching row index layout
         self._per_element_y = bool(getattr(model, "spatial_params", False))

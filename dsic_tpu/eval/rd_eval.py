@@ -31,6 +31,39 @@ from dsic_tpu.utils.csv_logger import CsvLogger
 # ~60s over the tunnel, shared within each architecture group
 _tmpl_cache: dict = {}
 
+# RSS ceiling above which the per-leg release escalates to a full
+# jax.clear_caches() (recompile ~30s/leg over the tunnel — cheap insurance
+# vs the 130 GB OOM that killed the round-5 58-leg BD eval mid-run)
+_RSS_CLEAR_BYTES = 48 << 30
+
+
+def _host_rss_bytes() -> int:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) << 10
+    except OSError:
+        pass
+    return 0
+
+
+def _release_leg_memory():
+    """Between eval legs: drop python garbage now (param trees are ~100 MB
+    pytrees of numpy+device arrays; lazy collection lets several legs pile
+    up), and if host RSS is still climbing toward the OOM line, drop the
+    jit/executable caches too — on the tunneled backend those pin transfer
+    staging buffers (observed: 130 GB RSS after 34 legs when params were
+    host-resident and re-uploaded per batch)."""
+    import gc
+    gc.collect()
+    rss = _host_rss_bytes()
+    if rss > _RSS_CLEAR_BYTES:
+        print(f"[rd_eval] host RSS {rss >> 30} GiB > "
+              f"{_RSS_CLEAR_BYTES >> 30} GiB; clearing jax caches")
+        jax.clear_caches()
+        gc.collect()
+
 
 @functools.lru_cache(maxsize=24)
 def _eval_batch_fn(model):
@@ -39,11 +72,11 @@ def _eval_batch_fn(model):
     flax Modules hash/compare by field values, so two legs of a sweep that
     rebuild `CompressionModel(N=128, M=192)` get the SAME jitted callable —
     the compiled executable is reused across every lambda/quality leg with
-    the same architecture instead of recompiling per leg (round-5 eval
-    speedup: a 58-leg live-BD sweep previously re-jitted fresh closures per
-    leg and needed a per-leg jax.clear_caches() to stay under host RSS; the
-    memo bounds the cache at <= maxsize architectures x batch shapes, so
-    neither the leak nor the per-leg recompile exists anymore)."""
+    the same architecture instead of recompiling per leg. NOTE the memo
+    alone did NOT bound host RSS (round-5 measured: the 58-leg BD eval
+    still OOMed at 130 GB because HOST-resident params were re-uploaded
+    every batch); the per-leg jax.device_put of params plus
+    _release_leg_memory() are the actual fix."""
     @jax.jit
     def run(params, x_pad):
         if x_pad.dtype == jnp.uint8:  # wire format: normalize on device
@@ -133,7 +166,13 @@ def evaluate_model_lambdas(cfg: Config, ckpt_root: str, image_dir: str,
             path = os.path.join(ckpt_root, ckpt_name(lam))
             try:
                 state, _ = restore_checkpoint(path, template)
-                params = state.params
+                # orbax restores to HOST numpy; pin on device once per leg
+                # or every jitted batch re-uploads the full param tree
+                # (~25-120 MB over the ~70 MB/s tunnel, ~63x per leg) —
+                # measured as BOTH the dominant leg cost and the source of
+                # the 130 GB host-RSS OOM (leaked transfer staging buffers,
+                # round-5 58-leg BD eval, 2026-08-20).
+                params = jax.device_put(state.params)
             except Exception as exc:  # noqa: BLE001
                 print(f"[rd_eval] WARN: cannot load {path}: {exc}; skipping")
                 continue
@@ -146,12 +185,7 @@ def evaluate_model_lambdas(cfg: Config, ckpt_root: str, image_dir: str,
             for key in ("bpp", "mse", "psnr", "msssim"):
                 agg[key].append(float(np.mean([r[key] for r in rows])))
             del state, params
-            # NOTE: no jax.clear_caches() here. Historically every leg
-            # jitted fresh closures and a 58-model live-BD run leaked to
-            # 130 GB host RSS; _eval_batch_fn/_metrics_fn are now memoized
-            # on model identity, so all lambda legs share ONE compiled
-            # executable and the cache is bounded (and warm for the next
-            # leg: ~30s compile saved per leg over the tunnel).
+            _release_leg_memory()
 
     with CsvLogger(os.path.join(out_dir, "agg_model_rd_summary.csv"),
                    ["lambda", "count", "bpp", "mse", "psnr", "msssim"]) as ag:
@@ -207,7 +241,8 @@ def evaluate_zoo_qualities(cfg: Config, ckpt_root: str, image_dir: str,
             path = os.path.join(ckpt_root, zoo_ckpt_name(family, q))
             try:
                 state, _ = restore_checkpoint(path, template)
-                params = state.params
+                # device-pin once per leg (see evaluate_model_lambdas)
+                params = jax.device_put(state.params)
             except Exception as exc:  # noqa: BLE001
                 print(f"[rd_eval] WARN: cannot load {path}: {exc}; skipping")
                 continue
@@ -220,9 +255,7 @@ def evaluate_zoo_qualities(cfg: Config, ckpt_root: str, image_dir: str,
             for key in ("bpp", "mse", "psnr", "msssim"):
                 agg[key].append(float(np.mean([r[key] for r in rows])))
             del state, params
-            # no clear_caches: eval closures are memoized (see
-            # _eval_batch_fn) — same-architecture qualities share one
-            # compiled executable
+            _release_leg_memory()
 
     with CsvLogger(os.path.join(out_dir, f"agg_{family}_rd.csv"),
                    ["quality", "count", "bpp", "psnr", "msssim"]) as ag:
